@@ -1,0 +1,132 @@
+"""Vectorized fetch+parse operator (SURVEY.md §2.5 mapping).
+
+One Arrow-batched ``mapInPandas`` pass dispatches each fetched page to its
+portal parser (``operators/portals``) — reproducing the reference spiders'
+parse callbacks — and emits, per page, the extracted item (canonical JSON +
+typed projections) and the extracted links (JSON array).  This is the only
+Python on the hot path; everything before (politeness/budget selection,
+fetch join) and after (dedup anti-join, frontier append) is native Spark.
+
+The per-row invariant (BASELINE.json:input_hint): ``item_json`` is
+byte-identical to the offline simulator's canonical item text per url.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARSED_SCHEMA = (
+    "seed_id string, fifo_seq long, url string, kind string, "
+    "netloc string, partition_id int, parse_ok boolean, "
+    "item_json string, item_kind string, links_json string"
+)
+
+LINK_SCHEMA = (
+    "array<struct<url:string, kind:string, seq:int, dup_check:boolean, "
+    "meta:string>>"
+)
+
+
+def _make_ctx(row, run_date):
+    from .portals.base import SeedCtx
+
+    return SeedCtx(
+        seed_id=row.seed_id,
+        portal=row.portal,
+        stadtid=int(row.stadtid),
+        stadtname=row.stadtname,
+        haus=int(row.haus),
+        kaufen=int(row.kaufen),
+        url=row.seed_url,
+        chatid=row.chatid,
+        hour=int(row.hour),
+        run_date=run_date,
+        stadtviertel=tuple(row.stadtviertel) if row.stadtviertel is not None else (),
+    )
+
+
+def parse_pages(batch_df: DataFrame, run_date: datetime.date) -> DataFrame:
+    """batch_df columns: seed_id, fifo_seq, url, kind, netloc, meta (json),
+    html (binary), portal, stadtid, stadtname, haus, kaufen, chatid, hour,
+    seed_url, stadtviertel (array<string>).
+
+    Returns PARSED_SCHEMA rows (one per input page)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        from .portals import get_portal
+        from ..plans.simulator import canonical_item_text
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            out = {k: [] for k in (
+                "seed_id", "fifo_seq", "url", "kind", "netloc", "partition_id",
+                "parse_ok", "item_json", "item_kind", "links_json")}
+            for row in pdf.itertuples(index=False):
+                ctx = _make_ctx(row, run_date)
+                meta = json.loads(row.meta) if row.meta else {}
+                item_json = None
+                item_kind = None
+                links = []
+                ok = True
+                try:
+                    body = bytes(row.html).decode("utf-8")
+                    pr = get_portal(row.portal).parse(
+                        row.kind, body, row.url, meta, ctx
+                    )
+                    if pr.item is not None:
+                        item_json = canonical_item_text(pr.item)
+                        item_kind = pr.item_kind or "immo"
+                    links = [
+                        {
+                            "url": lk.url,
+                            "kind": lk.kind,
+                            "seq": lk.seq,
+                            "dup_check": lk.dup_check,
+                            "meta": json.dumps(lk.meta, sort_keys=True),
+                        }
+                        for lk in pr.links
+                    ]
+                except Exception:
+                    # spider-level try/except swallows parse errors (e.g.
+                    # immonet.py:117-119) — page yields nothing
+                    ok = False
+                out["seed_id"].append(row.seed_id)
+                out["fifo_seq"].append(row.fifo_seq)
+                out["url"].append(row.url)
+                out["kind"].append(row.kind)
+                out["netloc"].append(row.netloc)
+                out["partition_id"].append(pid)
+                out["parse_ok"].append(ok)
+                out["item_json"].append(item_json)
+                out["item_kind"].append(item_kind)
+                out["links_json"].append(json.dumps(links))
+            yield pd.DataFrame(out)
+
+    return batch_df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+def explode_links(parsed: DataFrame) -> DataFrame:
+    """Native link explosion: links_json → one row per link (F1–F14 output)."""
+    return (
+        parsed.select(
+            "seed_id",
+            F.col("fifo_seq").alias("parent_fifo_seq"),
+            F.explode(F.from_json("links_json", LINK_SCHEMA)).alias("lk"),
+        )
+        .select(
+            "seed_id",
+            "parent_fifo_seq",
+            F.col("lk.url").alias("url"),
+            F.col("lk.kind").alias("kind"),
+            F.col("lk.seq").alias("seq"),
+            F.col("lk.dup_check").alias("dup_check"),
+            F.col("lk.meta").alias("meta"),
+        )
+    )

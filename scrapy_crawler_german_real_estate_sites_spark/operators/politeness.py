@@ -1,0 +1,102 @@
+"""Politeness + budget batch selection (SURVEY.md §2.4 P1–P8).
+
+Per iteration ("wave") the engine selects a frontier prefix that respects:
+
+* **per-netloc token buckets** (P1/P2): at most
+  ``max_concurrent × ceil(iter_seconds / crawl_delay_s)`` pages per netloc
+  per wave — the Spark form of ``CONCURRENT_REQUESTS_PER_DOMAIN=1`` +
+  ``DOWNLOAD_DELAY=10`` (settings.py:53-55).  A wave is the engine's unit
+  of wall-clock; tokens scale with ``iter_seconds``.
+* **FIFO-prefix discipline**: within a seed, only a *prefix* of the
+  fifo-ordered pending rows may be selected — this is what makes the
+  engine's per-seed fetch order provably identical to Scrapy's FIFO
+  scheduler (ordering contract A6).
+* **item budget** (P7, ``CLOSESPIDER_ITEMCOUNT``): at most
+  ``budget − scraped`` detail rows per seed per wave; rows after the
+  cut-off detail (including pagination) are deferred so the budget stop
+  lands on exactly the same page as the reference.
+* **spider-stop drain** (D3): a seed whose pipeline set ``spider.stop``
+  fetches only up to and including its next listing page (which the
+  reference fetches and then closes on — immonet.py:82-84).
+* ``not_before`` gating (P4: 429-style backoff re-enqueue).
+
+All of it is native window/filter logic — no Python on this path; the
+netloc partitioning is also the shuffle key, so one hot portal cannot skew
+a wave (north_rule: per-host token buckets per netloc partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_batch(
+    pending: DataFrame,
+    state: DataFrame,
+    robots: DataFrame,
+    iter_no: int,
+    iter_seconds: float = 10.0,
+    default_delay: float = 10.0,
+    default_concurrent: int = 1,
+    token_scale: float = 1.0,
+) -> DataFrame:
+    """pending: (seed_id, fifo_seq, url, kind, netloc, meta, not_before, depth)
+    state:   (seed_id, scraped, budget, spider_stop, stopped)
+    robots:  (netloc, crawl_delay_s, max_concurrent, disallow_prefixes)
+    """
+    p = (
+        pending.join(F.broadcast(state), "seed_id")
+        .where(~F.col("stopped") & (F.col("not_before") <= F.lit(iter_no)))
+    )
+
+    w = Window.partitionBy("seed_id").orderBy("fifo_seq")
+    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
+    is_det = F.col("kind").isin("detail", "detail2").cast("int")
+    is_listing = (F.col("kind") == "listing").cast("int")
+    p = p.withColumn("cum_det_excl", F.coalesce(F.sum(is_det).over(w_excl), F.lit(0)))
+    p = p.withColumn(
+        "cum_lst_excl", F.coalesce(F.sum(is_listing).over(w_excl), F.lit(0))
+    )
+
+    remaining = F.col("budget") - F.col("scraped")
+    p = p.where(F.col("cum_det_excl") < remaining)
+    # spider-stop drain: details before the next listing + that listing
+    p = p.where(~F.col("spider_stop") | (F.col("cum_lst_excl") == 0))
+
+    # per-netloc token bucket
+    p = p.join(
+        F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
+        "netloc",
+        "left",
+    )
+    tokens = (
+        F.ceil(
+            F.lit(iter_seconds)
+            / F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+        )
+        * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
+        * F.lit(token_scale)
+    ).cast("long")
+    wn = Window.partitionBy("netloc").orderBy("fifo_seq", "seed_id")
+    p = p.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= tokens)
+
+    return p.drop(
+        "cum_det_excl", "cum_lst_excl", "rn", "crawl_delay_s", "max_concurrent"
+    )
+
+
+def robots_filter(links: DataFrame, robots: DataFrame):
+    """P5 (north_rule): drop candidate links whose path starts with a
+    disallowed prefix for their netloc.  Returns (allowed, blocked)."""
+    l = links.join(
+        F.broadcast(robots.select("netloc", "disallow_prefixes")), "netloc", "left"
+    )
+    path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    blocked_cond = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda pfx: path.startswith(pfx),
+    )
+    allowed = l.where(~blocked_cond).drop("disallow_prefixes")
+    blocked = l.where(blocked_cond).drop("disallow_prefixes")
+    return allowed, blocked

@@ -1,0 +1,518 @@
+"""The crawl engine: a partitioned URL frontier drained in waves.
+
+Replaces the reference's cron + caller.py + 10 scrapyd nodes + Twisted
+event loop (SURVEY.md §3.1) with one declarative per-wave dataflow:
+
+    select (politeness ∧ FIFO-prefix ∧ budget)            [native window]
+      → fetch (broadcast-hash join frontier-batch × pages) [native join]
+      → parse + link-extract                               [Arrow mapInPandas]
+      → per-seed pipeline pass (budget/stop/insert gates)  [applyInPandas]
+      → robots filter → bloom + seen-rule dedup            [native + sketch]
+      → frontier append with FIFO sequence numbers         [native window]
+
+Ordering contract (A6): every new link gets a per-seed monotone
+``fifo_seq`` reconstructing Scrapy's FIFO enqueue order (parents in fifo
+order, in-page links in document order, details before pagination).  The
+per-seed sequence of *counted* fetches is then byte-identical to the
+sequential reference simulation — verified by tests/test_crawl_parity.py.
+
+Scale notes: the fetch join broadcasts the (politeness-bounded) wave batch
+so the pages table is never shuffled; at cluster scale pages is an Iceberg
+table bucketed by url and the join is storage-partitioned.  The seen set is
+a broadcast bloom + exact verify join (operators/seen.py).  Frontier and
+seen live as snapshots per wave (parquet here, Iceberg snapshots in prod) —
+``resume_from`` restarts a run mid-crawl from any wave, exactly
+(north_rule: resumable from checkpoint).  Driver-held per-seed counters are
+O(seeds), not O(urls).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import politeness, seen as seen_ops
+from ..operators.parse_batch import explode_links, parse_pages
+from .simulator import DEFAULT_ITEM_BUDGET, ITEM_BUDGETS, DUP_STREAK_LIMIT
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.StringType()),
+        T.StructField("scraped", T.IntegerType()),
+        T.StructField("stop_condition", T.IntegerType()),
+        T.StructField("spider_stop", T.BooleanType()),
+        T.StructField("stopped", T.BooleanType()),
+        T.StructField("budget", T.IntegerType()),
+    ]
+)
+
+PASS_SCHEMA = (
+    "seed_id string, fifo_seq long, url string, kind string, "
+    "counted boolean, effective boolean, item_json string, item_kind string, "
+    "doc_json string, seen_url string, alert string, failure string, "
+    "links_json string, partition_id int"
+)
+
+PENDING_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.StringType()),
+        T.StructField("fifo_seq", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("netloc", T.StringType()),
+        T.StructField("meta", T.StringType()),
+        T.StructField("not_before", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("seed_id", T.StringType()),
+        T.StructField("fifo_seq", T.LongType()),
+    ]
+)
+
+_NETLOC = r"^https?://([^/]+)"
+
+
+def _netloc(col):
+    return F.regexp_extract(col, _NETLOC, 1)
+
+
+def pipeline_pass(parsed_with_state: DataFrame, stadte_by_id: dict,
+                  run_ts: datetime.datetime) -> DataFrame:
+    """Per-seed sequential pipeline semantics (applyInPandas, grouped by
+    seed): item budget (P7), cumulative-failure spider stop (D3 pipeline
+    variant, pipelines.py:363-369), insert/alert effects via the SAME
+    ``apply_item`` the golden simulator uses."""
+    from .simulator import apply_item  # shared effect core
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("fifo_seq")
+        first = pdf.iloc[0]
+        scraped = int(first.scraped)
+        stop_condition = int(first.stop_condition)
+        spider_stop = bool(first.spider_stop)
+        budget = int(first.budget)
+        seed_id = first.seed_id
+        stopped = False
+        out = []
+        for row in pdf.itertuples(index=False):
+            rec = {
+                "seed_id": seed_id, "fifo_seq": int(row.fifo_seq),
+                "url": row.url, "kind": row.kind, "counted": False,
+                "effective": False, "item_json": None, "item_kind": None,
+                "doc_json": None, "seen_url": None, "alert": None,
+                "failure": None, "links_json": "[]",
+                "partition_id": int(row.partition_id),
+            }
+            if stopped:
+                out.append(rec)  # wasted fetch (queue was dropped)
+                continue
+            if row.kind == "listing" and spider_stop:
+                # fetched, then parse closes the spider (immonet.py:82-84)
+                rec["counted"] = True
+                stopped = True
+                out.append(rec)
+                continue
+            rec["counted"] = True
+            rec["effective"] = True
+            rec["links_json"] = row.links_json if row.parse_ok else "[]"
+            if row.item_json is not None:
+                if stop_condition >= DUP_STREAK_LIMIT:  # pipelines.py:363-369
+                    stop_condition = 0
+                    spider_stop = True
+                item = json.loads(row.item_json)
+                doc, seen_url, alert, failure = apply_item(
+                    item, stadte_by_id, run_ts
+                )
+                rec["item_json"] = row.item_json
+                rec["item_kind"] = row.item_kind
+                if doc is not None:
+                    rec["doc_json"] = json.dumps(
+                        doc, sort_keys=True, ensure_ascii=False, default=str
+                    )
+                rec["seen_url"] = seen_url
+                rec["alert"] = alert
+                rec["failure"] = failure
+                if failure is not None:
+                    stop_condition += 1
+                scraped += 1
+                if scraped >= budget:  # CLOSESPIDER_ITEMCOUNT: queue dropped
+                    stopped = True
+            out.append(rec)
+        out.append(
+            {
+                "seed_id": seed_id, "fifo_seq": -1, "url": None,
+                "kind": "__state__", "counted": False, "effective": False,
+                "item_json": None, "item_kind": None,
+                "doc_json": json.dumps(
+                    {
+                        "scraped": scraped,
+                        "stop_condition": stop_condition,
+                        "spider_stop": spider_stop,
+                        "stopped": stopped,
+                    }
+                ),
+                "seen_url": None, "alert": None, "failure": None,
+                "links_json": "[]", "partition_id": -1,
+            }
+        )
+        return pd.DataFrame(out)
+
+    return parsed_with_state.groupBy("seed_id").applyInPandas(run, PASS_SCHEMA)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fix_dir: str,
+        workdir: str = None,
+        hour: int = 7,
+        run_date: datetime.date = datetime.date(2021, 5, 1),
+        run_ts: datetime.datetime = None,
+        iter_seconds: float = 1e6,  # default: politeness-unbounded waves
+        token_scale: float = 1.0,
+        use_bloom: bool = True,
+        item_budgets: dict = None,
+        checkpoint_every: int = 0,  # 0 = no parquet checkpoints
+    ):
+        self.spark = spark
+        self.fix_dir = fix_dir
+        self.workdir = workdir
+        self.hour = hour
+        self.run_date = run_date
+        self.run_ts = run_ts or datetime.datetime(2021, 5, 1, hour, 0, 0)
+        self.iter_seconds = iter_seconds
+        self.token_scale = token_scale
+        self.use_bloom = use_bloom
+        self.checkpoint_every = checkpoint_every
+
+        from ..sources import tables
+
+        self.pages = tables.load_pages(spark, fix_dir).select("url", "html")
+        seeds = tables.load_seeds(spark, fix_dir)
+        stadte = tables.load_stadte(spark, fix_dir)
+        self.robots = tables.load_robots(spark, fix_dir)
+
+        self.seed_ctx = (
+            seeds.join(
+                stadte.select(
+                    F.col("id").alias("stadtid"),
+                    F.col("stadtviertel"),
+                ),
+                "stadtid",
+                "left",
+            )
+            .select(
+                "seed_id", "portal", "stadtid", "stadtname", "haus", "kaufen",
+                "chatid", F.col("url").alias("seed_url"), "stadtviertel",
+                F.lit(hour).alias("hour"),
+            )
+            .cache()
+        )
+        self._seeds_local = seeds.select(
+            "seed_id", "portal", "url"
+        ).collect()
+        self._stadte_by_id = {
+            int(r["id"]): {
+                "id": int(r["id"]),
+                "stadt": r["stadt"],
+                "Stadtviertel": list(r["stadtviertel"]),
+            }
+            for r in stadte.collect()
+        }
+        budgets = dict(ITEM_BUDGETS)
+        if item_budgets:
+            budgets.update(item_budgets)
+        self.state = {
+            r.seed_id: {
+                "scraped": 0,
+                "stop_condition": 0,
+                "spider_stop": False,
+                "stopped": False,
+                "budget": budgets.get(r.portal, DEFAULT_ITEM_BUDGET),
+                "next_fifo": 1,
+            }
+            for r in self._seeds_local
+        }
+        # accumulated outputs (unioned per wave, lineage-truncated)
+        self.pending = self.spark.createDataFrame(
+            [
+                (
+                    r.seed_id, 0, r.url, "start",
+                    __import__("re").match(_NETLOC, r.url).group(1),
+                    json.dumps({}), 0, 0,
+                )
+                for r in self._seeds_local
+            ],
+            PENDING_SCHEMA,
+        )
+        self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+        self.bloom = seen_ops.BloomFilter()
+        self.logs = {k: [] for k in ("fetch", "dup_skips")}
+        self.out_batches = {"items": [], "docs": [], "alerts": []}
+        self.metrics = []
+        self.iteration = 0
+
+    # ---------------------------------------------------------------
+    def _state_df(self):
+        rows = [
+            (
+                sid, s["scraped"], s["stop_condition"], s["spider_stop"],
+                s["stopped"], s["budget"],
+            )
+            for sid, s in self.state.items()
+        ]
+        return self.spark.createDataFrame(rows, STATE_SCHEMA)
+
+    def run_wave(self) -> dict:
+        """One frontier wave. Returns metrics for the wave."""
+        t0 = time.time()
+        it = self.iteration
+        state_df = self._state_df()
+        batch = politeness.select_batch(
+            self.pending, state_df, self.robots, it,
+            iter_seconds=self.iter_seconds, token_scale=self.token_scale,
+        ).select(
+            "seed_id", "fifo_seq", "url", "kind", "netloc", "meta", "depth"
+        )
+        batch = batch.localCheckpoint(eager=True)
+        n_batch = batch.count()
+        if n_batch == 0:
+            return {"iteration": it, "fetched": 0, "wall_ms": 0}
+
+        fetched = self.pages.join(F.broadcast(batch), "url", "inner")
+        parse_input = fetched.join(F.broadcast(self.seed_ctx), "seed_id")
+        parsed = parse_pages(parse_input, self.run_date)
+        with_state = parsed.join(F.broadcast(state_df), "seed_id")
+        passed = pipeline_pass(
+            with_state, self._stadte_by_id, self.run_ts
+        ).localCheckpoint(eager=True)
+
+        # --- state update (small: one row per active seed)
+        for r in passed.where(F.col("kind") == "__state__").collect():
+            st = json.loads(r.doc_json)
+            s = self.state[r.seed_id]
+            s.update(st)
+        pages_out = passed.where(F.col("kind") != "__state__")
+
+        # --- seen update FIRST: this wave's inserts must be visible to the
+        # dedup join below (the fifo-position rule resolves same-wave order)
+        inserts = (
+            pages_out.where(F.col("seen_url").isNotNull())
+            .groupBy(F.col("seen_url").alias("url"), "seed_id")
+            .agg(F.min("fifo_seq").alias("fifo_seq"))
+        )
+        new_seen_rows = inserts.collect()
+        if new_seen_rows:
+            self.bloom.add_many([r.url for r in new_seen_rows])
+            self.seen = (
+                self.seen.unionByName(
+                    self.spark.createDataFrame(new_seen_rows, SEEN_SCHEMA)
+                )
+                .groupBy("url", "seed_id")
+                .agg(F.min("fifo_seq").alias("fifo_seq"))
+                .localCheckpoint(eager=True)
+            )
+
+        # --- new links from effective rows
+        links = explode_links(
+            pages_out.where(F.col("effective")).select(
+                "seed_id", "fifo_seq", "links_json"
+            )
+        ).withColumn("netloc", _netloc(F.col("url")))
+        allowed, blocked = politeness.robots_filter(links, self.robots)
+        n_blocked = blocked.count()
+
+        cand = allowed.withColumn(
+            "norm_url", F.substring_index(F.col("url"), "?", 1)
+        )
+        seen_df = self.seen
+        if self.use_bloom:
+            cand = seen_ops.with_bloom_flag(cand, self.bloom)
+            cand_neg = cand.where(~F.col("maybe_seen") | ~F.col("dup_check"))
+            cand_pos = cand.where(F.col("maybe_seen") & F.col("dup_check"))
+        else:
+            cand_neg = cand.where(~F.col("dup_check"))
+            cand_pos = cand.where(F.col("dup_check"))
+        # reference dup rule (database.py:88-98): candidate is a dup iff an
+        # item with EXACTLY url==strip(candidate) was inserted before the
+        # parent page's parse (FIFO position), or by another seed / a
+        # previous run (fifo_seq = -1).  Anti-join drops on ANY such match.
+        dup_cond = (F.col("c.norm_url") == F.col("s.url")) & (
+            (F.col("s.seed_id") != F.col("c.seed_id"))
+            | (F.col("s.fifo_seq") < F.col("c.parent_fifo_seq"))
+        )
+        kept_pos = cand_pos.alias("c").join(
+            seen_df.alias("s"), dup_cond, "left_anti"
+        )
+        dup_rows = (
+            cand_pos.alias("c")
+            .join(seen_df.alias("s"), dup_cond, "left_semi")
+            .select("seed_id", "url")
+            .collect()
+        )
+        self.logs["dup_skips"].extend((r.seed_id, r.url) for r in dup_rows)
+        new_links = cand_neg.select(cand_pos.columns).unionByName(kept_pos)
+
+        # --- fifo assignment (per-seed monotone enqueue order)
+        w = Window.partitionBy("seed_id").orderBy("parent_fifo_seq", "seq")
+        base = self.spark.createDataFrame(
+            [(sid, s["next_fifo"]) for sid, s in self.state.items()],
+            "seed_id string, fifo_base long",
+        )
+        new_pending = (
+            new_links.withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(base), "seed_id")
+            .select(
+                "seed_id",
+                (F.col("fifo_base") + F.col("rn") - 1).alias("fifo_seq"),
+                "url",
+                "kind",
+                "netloc",
+                "meta",
+                F.lit(0).alias("not_before"),
+                F.lit(it + 1).alias("depth"),
+            )
+        )
+        new_pending = new_pending.localCheckpoint(eager=True)
+        counts = {
+            r.seed_id: r["count"]
+            for r in new_pending.groupBy("seed_id").count().collect()
+        }
+        for sid, c in counts.items():
+            self.state[sid]["next_fifo"] += c
+
+        # --- frontier update: remove selected rows, drop stopped seeds' rows
+        stopped_ids = [(s,) for s, st in self.state.items() if st["stopped"]]
+        nxt = self.pending.join(
+            batch.select("seed_id", "fifo_seq"), ["seed_id", "fifo_seq"],
+            "left_anti",
+        ).unionByName(new_pending)
+        if stopped_ids:
+            nxt = nxt.join(
+                F.broadcast(
+                    self.spark.createDataFrame(stopped_ids, "seed_id string")
+                ),
+                "seed_id",
+                "left_anti",
+            )
+        self.pending = nxt.localCheckpoint(eager=True)
+
+        # --- logs + metrics
+        self.out_batches["items"].append(
+            pages_out.where(F.col("item_json").isNotNull() & F.col("effective"))
+            .select("seed_id", "fifo_seq", "url", "item_json", "item_kind",
+                    "doc_json", "seen_url", "alert", "failure")
+            .localCheckpoint(eager=True)
+        )
+        fetch_rows = (
+            pages_out.where(F.col("counted"))
+            .select("seed_id", "fifo_seq", "url", "kind")
+            .collect()
+        )
+        self.logs["fetch"].extend(
+            (r.seed_id, r.fifo_seq, r.url, r.kind) for r in fetch_rows
+        )
+        part_stats = (
+            pages_out.groupBy("partition_id")
+            .agg(
+                F.count("*").alias("parsed"),
+                F.sum(F.col("item_json").isNotNull().cast("int")).alias("items"),
+            )
+            .collect()
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        m = {
+            "iteration": it,
+            "selected": n_batch,
+            "fetched": len(fetch_rows),
+            "items": sum(p["items"] or 0 for p in part_stats),
+            "new_links": sum(counts.values()),
+            "dups_filtered": len(dup_rows),
+            "robots_blocked": n_blocked,
+            "inserted": len(new_seen_rows),
+            "partitions": [
+                {"partition_id": p.partition_id, "parsed": p.parsed,
+                 "items": int(p["items"] or 0)}
+                for p in part_stats
+            ],
+            "wall_ms": wall_ms,
+        }
+        self.metrics.append(m)
+        self.iteration += 1
+        if self.checkpoint_every and self.iteration % self.checkpoint_every == 0:
+            self.checkpoint()
+        return m
+
+    def run(self, max_waves: int = 200) -> dict:
+        total_fetched = 0
+        while self.iteration < max_waves:
+            if self.pending.limit(1).count() == 0:
+                break
+            m = self.run_wave()
+            total_fetched += m.get("fetched", 0)
+            if m.get("selected", 0) == 0:
+                break
+        return {
+            "waves": self.iteration,
+            "fetched": total_fetched,
+            "items": sum(m.get("items", 0) for m in self.metrics),
+            "inserted": sum(m.get("inserted", 0) for m in self.metrics),
+        }
+
+    # ---------------------------------------------------------------
+    def items_df(self) -> DataFrame:
+        dfs = [d for d in self.out_batches["items"]]
+        if not dfs:
+            return self.spark.createDataFrame(
+                [], "seed_id string, fifo_seq long, url string, item_json string,"
+                    "item_kind string, doc_json string, seen_url string,"
+                    "alert string, failure string")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def fetch_order(self):
+        """Canonical per-seed fetch order: list of (seed_id, url, kind),
+        sorted by (seed_id, fifo_seq) — comparable to SimResult.fetch_order."""
+        return sorted(self.logs["fetch"], key=lambda r: (r[0], r[1]))
+
+    def checkpoint(self):
+        if not self.workdir:
+            return
+        d = os.path.join(self.workdir, f"ckpt_{self.iteration:04d}")
+        os.makedirs(d, exist_ok=True)
+        self.pending.write.mode("overwrite").parquet(os.path.join(d, "pending"))
+        self.seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        with open(os.path.join(d, "state.json"), "w") as f:
+            json.dump({"state": self.state, "iteration": self.iteration}, f)
+
+    def resume_from(self, ckpt_dir: str):
+        self.pending = self.spark.read.parquet(
+            os.path.join(ckpt_dir, "pending")
+        ).localCheckpoint(eager=True)
+        self.seen = self.spark.read.parquet(
+            os.path.join(ckpt_dir, "seen")
+        ).localCheckpoint(eager=True)
+        with open(os.path.join(ckpt_dir, "state.json")) as f:
+            snap = json.load(f)
+        self.state = snap["state"]
+        self.iteration = snap["iteration"]
+        self.bloom = seen_ops.BloomFilter()
+        urls = [r.url for r in self.seen.select("url").collect()]
+        if urls:
+            self.bloom.add_many(urls)

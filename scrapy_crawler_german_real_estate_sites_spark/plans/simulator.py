@@ -180,6 +180,35 @@ def transform_wg_item(item, stadt_row, run_ts, doc_id):
     return obj
 
 
+def apply_item(item, stadte_by_id, run_ts):
+    """The effect-producing core of ``process_item`` (pipelines.py:360-404),
+    shared verbatim by the simulator and the engine's per-seed pipeline
+    pass.  Returns ``(doc, seen_url, alert_url, failure)`` — note a doc may
+    be "inserted" AND a failure recorded when the Telegram ``int()`` check
+    raises after the insert (pipelines.py:388-397)."""
+    doc = seen_url = alert = failure = None
+    if "url" in item and "title" in item:
+        item["createdat"] = run_ts.strftime("%Y-%m-%d %H:%M:%S")
+        if "adresse" not in item and "ort" in item:
+            item["adresse"] = item["ort"]
+        try:
+            if "stadtname" in item:
+                del item["stadtname"]
+            doc_id = str(uuid.uuid5(uuid.NAMESPACE_URL, "immo|" + str(item["url"])))
+            stadt = stadte_by_id.get(int(item["stadtid"]))
+            if item["haus"] == 2:
+                doc = transform_wg_item(item, stadt, run_ts, doc_id)
+            else:
+                doc = transform_item(item, stadt, run_ts, doc_id)
+            seen_url = str(item["url"])
+            if item["images"] and "gesamtkosten" in item:
+                if int(item["gesamtkosten"]) < 1000:  # may raise → failure
+                    alert = item["url"]
+        except Exception as e:
+            failure = type(e).__name__
+    return doc, seen_url, alert, failure
+
+
 class _Pipeline:
     """MongoDbPipeline per spider (pipelines.py:24-404)."""
 
@@ -193,29 +222,16 @@ class _Pipeline:
         if self.stop_condition >= DUP_STREAK_LIMIT:
             self.stop_condition = 0
             spider.stop = True
-        if "url" in item and "title" in item:
-            item["createdat"] = self.run_ts.strftime("%Y-%m-%d %H:%M:%S")
-            if "adresse" not in item and "ort" in item:
-                item["adresse"] = item["ort"]
-            try:
-                if "stadtname" in item:
-                    del item["stadtname"]
-                doc_id = str(uuid.uuid5(uuid.NAMESPACE_URL, "immo|" + str(item["url"])))
-                stadt = self.stadte.get(int(item["stadtid"]))
-                if item["haus"] == 2:
-                    doc = transform_wg_item(item, stadt, self.run_ts, doc_id)
-                else:
-                    doc = transform_item(item, stadt, self.run_ts, doc_id)
-                self.res.docs.append(doc)
-                self.res.seen.add(str(item["url"]))
-                if item["images"] and "gesamtkosten" in item:
-                    if int(item["gesamtkosten"]) < 1000:  # may raise → failure
-                        self.res.alerts.append(item["url"])
-            except Exception as e:
-                self.res.failures.append(
-                    (spider.seed_id, item.get("url"), type(e).__name__)
-                )
-                self.stop_condition += 1
+        doc, seen_url, alert, failure = apply_item(item, self.stadte, self.run_ts)
+        if doc is not None:
+            self.res.docs.append(doc)
+        if seen_url is not None:
+            self.res.seen.add(seen_url)
+        if alert is not None:
+            self.res.alerts.append(alert)
+        if failure is not None:
+            self.res.failures.append((spider.seed_id, item.get("url"), failure))
+            self.stop_condition += 1
         return item
 
 

@@ -33,6 +33,7 @@ BASE_TS = datetime.datetime(2021, 5, 1, 6, 0, 0)
 # tier → number of cities (3 seed combos each: (haus,kaufen) ∈
 # {(0,0),(0,1),(1,1)} — mirrors database.py:114-120 returnChangedKritids)
 TIERS = {
+    "tiny": {"cities": 2},
     "sf0.001": {"cities": 15},
     "sf0.01": {"cities": 150},
     "sf0.1": {"cities": 1500},

@@ -1,0 +1,58 @@
+"""Table IO.
+
+Storage note (scale): the production design (SURVEY.md §1.2) targets
+Iceberg tables — ``pages`` bucketed by ``bucket(N, url)`` so the per-wave
+fetch join is co-partitioned, ``frontier``/``seen``/``listings`` snapshotted
+for exact resume, row-level deletes for retention (D10) and liveness (E14).
+This sandbox has no Iceberg runtime jars, so ``fmt()`` degrades to plain
+parquet paths with the same schemas; all engine code goes through these
+helpers, so pointing ``SPARK_GRAFT_TABLE_FORMAT=iceberg`` at a configured
+catalog is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
+              extra_conf=None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load(spark: SparkSession, dir_: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(dir_, f"{name}.parquet"))
+
+
+def load_pages(spark, fix_dir):
+    return load(spark, fix_dir, "pages")
+
+
+def load_seeds(spark, fix_dir):
+    return load(spark, fix_dir, "seeds")
+
+
+def load_stadte(spark, fix_dir):
+    return load(spark, fix_dir, "stadte")
+
+
+def load_robots(spark, fix_dir):
+    return load(spark, fix_dir, "robots")
