@@ -1,0 +1,97 @@
+"""Throughput benchmark — the driver runs this per round → BENCH_r{N}.json.
+
+Headline: the north-star metric (BASELINE.json) — frontier URLs processed
+per second, end-to-end (politeness select → fetch join → parse+extract →
+pipeline pass → dedup → frontier append), on the deterministic synthetic
+web tier matching $SPARK_GRAFT_SF_DIR.  Also times each analytics query.
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "crawl": {...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` (separate processes per master) → BENCH/BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# analytics queries to time (subset with scale-relevant shapes)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "nation_revenue",
+    "top_orders_per_cust",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_ann_ivf",
+    "text_stats",
+    "doc_fingerprint",
+    "url_normalize",
+    "multimodal_stub",
+]
+
+
+def main():
+    import __spark_entry__ as E
+    from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import CrawlEngine
+    from scrapy_crawler_german_real_estate_sites_spark.sources.synth import TIERS
+    from scrapy_crawler_german_real_estate_sites_spark.sources.tables import get_spark
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    spark = get_spark(app="bench", cpus=CPUS, shuffle_partitions=CPUS)
+
+    timings = {}
+
+    # --- headline: crawl throughput on the matching fixture tier
+    tier = sf_name if sf_name in TIERS else "sf0.01"
+    fix = E._fixture(SF_DIR)
+    t0 = time.time()
+    eng = CrawlEngine(spark, fix, hour=7, track_order=False)
+    summary = eng.run(max_waves=100)
+    crawl_sec = time.time() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+    urls_per_sec = summary["fetched"] / crawl_sec if crawl_sec else 0.0
+
+    # --- analytics operator timings
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"# {name} failed: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(urls_per_sec, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "crawl": {
+            "tier": tier,
+            "fetched": summary["fetched"],
+            "items": summary["items"],
+            "inserted": summary["inserted"],
+            "waves": summary["waves"],
+            "wall_sec": round(crawl_sec, 2),
+            "cpus": int(CPUS),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

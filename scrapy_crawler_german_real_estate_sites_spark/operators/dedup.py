@@ -1,0 +1,279 @@
+"""Deduplication suite for large-scale text corpora (task brief: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Everything is expressed with native ``pyspark.sql.functions`` higher-order
+array expressions — no Python UDFs — so Catalyst/Tungsten codegen the hot
+path and each operator has a DuckDB-expressible oracle (md5 is the shared
+cross-engine hash).
+
+Scale notes: the n-gram/LSH self-joins shuffle on (shingle|bucket) keys —
+bounded keys with document frequency caps (``max_df``) keep the hottest
+shingles from exploding the join (the classic "drop super-common shingles"
+trick); the pair aggregation is a map-side-combinable groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization shared by dedup + textops (column expressions)
+# ---------------------------------------------------------------------------
+
+def tokens_col(text):
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles_col(text, n=3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Groups of byte-identical texts; keeps the min id as canonical.
+    Returns (keep_id, dup_count) per distinct text."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keep_id", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup (exact, self-join on shared shingles)
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(
+    docs: DataFrame, n=3, threshold=0.8, id_col="doc_id", text_col="text",
+    max_df: int = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets; pairs (a<b) with
+    similarity ≥ threshold.  ``max_df`` drops shingles appearing in more
+    than max_df docs before the join (skew guard at scale)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    )
+    if max_df:
+        hot = sh.groupBy("sh").count().where(F.col("count") > max_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH near-dup (approximate at scale)
+# ---------------------------------------------------------------------------
+
+def minhash_sig(text_col, num_hashes=16, n=3):
+    """MinHash signature as array<string>: h_i = min(md5(i||':'||shingle)).
+    md5 keeps the oracle reproducible in DuckDB byte-for-byte."""
+    sh = shingles_col(text_col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame, num_hashes=16, bands=4, n=3, threshold=0.5,
+    id_col="doc_id", text_col="text",
+) -> DataFrame:
+    """Banded-LSH candidate generation (bucket join on band hashes) +
+    exact-Jaccard verification of candidates.  At 100 TB the band-bucket
+    join replaces the quadratic shingle self-join; bucket keys are
+    hash-uniform so the shuffle is skew-free by construction."""
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        minhash_sig(text_col, num_hashes, n).alias("sig"),
+    ).where(F.size(shingles_col(text_col, n)) > 0)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("shs")
+    )
+    out = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (64-bit, md5-derived bit weights)
+# ---------------------------------------------------------------------------
+
+def simhash_col(text_col, bits=32):
+    """SimHash over word tokens: sign-sum of md5-derived bit vectors.
+    Implemented with higher-order aggregates; 32 bits keeps the bit loop
+    codegen-friendly (two md5 halves at 64 would double the expression)."""
+    toks = F.array_distinct(tokens_col(text_col))
+    # per token: integer from first 8 hex chars of md5 (32 bits)
+    hv = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    # (h >> b) & 1 with a Column shift amount: floor-div by 2^b, mod 2
+    bit_of = lambda h, b: (
+        (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                hv,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def dedup_simhash(
+    docs: DataFrame, bits=32, max_hamming=3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming.  Banding:
+    with 4 bands, any pair within distance 3 shares ≥1 exact band (pigeonhole)
+    → bucket join instead of all-pairs."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sim = docs.select(
+        F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sv")
+    )
+    banded = sim.select(
+        "id",
+        "sv",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "", F.slice(F.col("sv"), b * band_bits + 1, band_bits)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sv", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sv").alias("sv_a"),
+            F.col("b.sv").alias("sv_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("sv_a", "sv_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def dedup_embedding_cosine(
+    emb: DataFrame, threshold=0.95, id_col="vec_id", vec_col="embedding",
+    block_col=None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.  ``block_col`` (e.g. an LSH bucket or
+    label) turns the cross join into a per-block join at scale."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("nrm", norm)
+    keys = ["blk"] if block_col else []
+    a, b = v.alias("a"), v.alias("b")
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    return (
+        joined.where(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
+        )
+    )

@@ -187,6 +187,8 @@ class CrawlEngine:
         use_bloom: bool = True,
         item_budgets: dict = None,
         checkpoint_every: int = 0,  # 0 = no parquet checkpoints
+        track_order: bool = True,  # golden-ordering bookkeeping (tests);
+        #                            off for throughput benchmarking
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -198,9 +200,11 @@ class CrawlEngine:
         self.token_scale = token_scale
         self.use_bloom = use_bloom
         self.checkpoint_every = checkpoint_every
+        self.track_order = track_order
 
         from ..sources import tables
 
+        tables.ensure_udf_imports(spark)
         self.pages = tables.load_pages(spark, fix_dir).select("url", "html")
         seeds = tables.load_seeds(spark, fix_dir)
         stadte = tables.load_stadte(spark, fix_dir)
@@ -294,7 +298,15 @@ class CrawlEngine:
             return {"iteration": it, "fetched": 0, "wall_ms": 0}
 
         fetched = self.pages.join(F.broadcast(batch), "url", "inner")
-        parse_input = fetched.join(F.broadcast(self.seed_ctx), "seed_id")
+        # hash-partition by seed BEFORE the parse UDF: (a) the page scan is
+        # one input split locally, so without this the Arrow parse would run
+        # on a single core; (b) the pipeline pass groups by seed_id, so this
+        # single exchange serves both (no second shuffle of the html bytes)
+        par = self.spark.sparkContext.defaultParallelism
+        parse_input = (
+            fetched.join(F.broadcast(self.seed_ctx), "seed_id")
+            .repartition(par, "seed_id")
+        )
         parsed = parse_pages(parse_input, self.run_date)
         with_state = parsed.join(F.broadcast(state_df), "seed_id")
         passed = pipeline_pass(
@@ -358,13 +370,16 @@ class CrawlEngine:
         kept_pos = cand_pos.alias("c").join(
             seen_df.alias("s"), dup_cond, "left_anti"
         )
-        dup_rows = (
-            cand_pos.alias("c")
-            .join(seen_df.alias("s"), dup_cond, "left_semi")
-            .select("seed_id", "url")
-            .collect()
-        )
-        self.logs["dup_skips"].extend((r.seed_id, r.url) for r in dup_rows)
+        if self.track_order:
+            dup_rows = (
+                cand_pos.alias("c")
+                .join(seen_df.alias("s"), dup_cond, "left_semi")
+                .select("seed_id", "url")
+                .collect()
+            )
+            self.logs["dup_skips"].extend((r.seed_id, r.url) for r in dup_rows)
+        else:
+            dup_rows = []
         new_links = cand_neg.select(cand_pos.columns).unionByName(kept_pos)
 
         # --- fifo assignment (per-seed monotone enqueue order)
@@ -418,14 +433,15 @@ class CrawlEngine:
                     "doc_json", "seen_url", "alert", "failure")
             .localCheckpoint(eager=True)
         )
-        fetch_rows = (
-            pages_out.where(F.col("counted"))
-            .select("seed_id", "fifo_seq", "url", "kind")
-            .collect()
-        )
-        self.logs["fetch"].extend(
-            (r.seed_id, r.fifo_seq, r.url, r.kind) for r in fetch_rows
-        )
+        if self.track_order:
+            fetch_rows = (
+                pages_out.where(F.col("counted"))
+                .select("seed_id", "fifo_seq", "url", "kind")
+                .collect()
+            )
+            self.logs["fetch"].extend(
+                (r.seed_id, r.fifo_seq, r.url, r.kind) for r in fetch_rows
+            )
         part_stats = (
             pages_out.groupBy("partition_id")
             .agg(
@@ -438,7 +454,7 @@ class CrawlEngine:
         m = {
             "iteration": it,
             "selected": n_batch,
-            "fetched": len(fetch_rows),
+            "fetched": sum(p["parsed"] or 0 for p in part_stats),
             "items": sum(p["items"] or 0 for p in part_stats),
             "new_links": sum(counts.values()),
             "dups_filtered": len(dup_rows),

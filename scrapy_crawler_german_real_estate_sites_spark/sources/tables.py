@@ -17,8 +17,41 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ensure_pythonpath():
+    """Python UDF workers import this package by name — make sure the repo
+    root is on PYTHONPATH regardless of the driver's cwd."""
+    pp = os.environ.get("PYTHONPATH", "")
+    if REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            REPO_ROOT + (os.pathsep + pp if pp else "")
+        )
+
+
+def ensure_udf_imports(spark: SparkSession):
+    """For sessions we didn't create (driver harness): ship the package to
+    workers via addPyFile if the repo root isn't importable there."""
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "spark_graft_pkg")
+    pkg_dir = os.path.join(REPO_ROOT, "scrapy_crawler_german_real_estate_sites_spark")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", REPO_ROOT,
+                            "scrapy_crawler_german_real_estate_sites_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _ = pkg_dir
+
+
 def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
               extra_conf=None) -> SparkSession:
+    _ensure_pythonpath()
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     b = (
         SparkSession.builder.appName(app)
