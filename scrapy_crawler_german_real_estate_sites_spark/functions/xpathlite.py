@@ -39,6 +39,19 @@ VOID_TAGS = frozenset(
 )
 
 
+class TextNode(str):
+    """A text node that knows its parent element (needed for the
+    ``text()[contains(.,'x')]/..`` pattern, e.g. ebay-klein.py:98).
+    Behaves exactly like str everywhere else."""
+
+    parent = None
+
+    def __new__(cls, s, parent):
+        o = str.__new__(cls, s)
+        o.parent = parent
+        return o
+
+
 class Node:
     __slots__ = ("tag", "attrs", "children", "parent", "pos")
 
@@ -111,7 +124,7 @@ class _DomBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self.stack[-1].children.append(data)
+            self.stack[-1].children.append(TextNode(data, self.stack[-1]))
 
 
 def parse_html(text: str) -> Node:
@@ -224,7 +237,9 @@ def _compile_pred(p: str):
     m = _PRED_CONT_DOT.match(p)
     if m:
         val = m.group(2)
-        return lambda n: isinstance(n, Node) and val in n.string_value()
+        return lambda n: (
+            val in n if isinstance(n, str) else val in n.string_value()
+        )
     m = _PRED_TEXT_EQ.match(p)
     if m:
         val = m.group(2)
@@ -254,6 +269,10 @@ def _parse_steps(path: str):
             axis = "child"  # relative first step
         else:  # pragma: no cover
             raise ValueError(f"bad path at {s[i:]!r} in {path!r}")
+        if s.startswith("..", i):
+            steps.append(_Step("parent", "*", []))
+            i += 2
+            continue
         m = _STEP_RE.match(s, i)
         if not m:
             raise ValueError(f"bad step at {s[i:]!r} in {path!r}")
@@ -407,6 +426,24 @@ def _eval_steps(context, steps):
     return cur
 
 
+def _matching_paren(s: str, start: int) -> int:
+    depth, q = 0, None
+    for i in range(start, len(s)):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced parens in {s!r}")
+
+
 @lru_cache(maxsize=4096)
 def _compile(expr: str):
     expr = expr.strip()
@@ -417,11 +454,21 @@ def _compile(expr: str):
     if m:
         inner = _compile(m.group(1))
         return ("normspace", inner)
-    m = re.match(r"^\((.*)\)\s*\[(\d+|last\(\))\]$", expr, re.S)
-    if m:
-        inner = _compile(m.group(1))
-        idx = m.group(2)
-        return ("index", inner, "last" if idx == "last()" else int(idx))
+    if expr.startswith("("):
+        j = _matching_paren(expr, 0)
+        node = _compile(expr[1:j])
+        rest = expr[j + 1 :].strip()
+        m = re.match(r"^\s*\[(\d+|last\(\))\]", rest)
+        if m:
+            idx = m.group(1)
+            node = ("index", node, "last" if idx == "last()" else int(idx))
+            rest = rest[m.end() :].strip()
+        if rest:
+            if not rest.startswith("/"):
+                raise ValueError(f"bad trailing {rest!r} in {expr!r}")
+            # (group)/further/steps — e.g. kalay.py:105,131
+            node = ("chain", node, _parse_steps(rest))
+        return node
     return ("path", _parse_steps(expr))
 
 
@@ -443,6 +490,9 @@ def _eval_compiled(c, context):
         v = res[0]
         s = v if isinstance(v, str) else v.string_value()
         return [" ".join(s.split())]
+    if kind == "chain":
+        res = _eval_compiled(c[1], context)
+        return _eval_steps(res, c[2])
     raise AssertionError(kind)
 
 
@@ -461,8 +511,20 @@ class XDoc:
         self.node = node
 
     def xpath(self, expr: str) -> "XList":
-        ctx = [self.node]
-        return XList(_eval_compiled(_compile(expr), ctx))
+        # lxml semantics: paths starting with '/' evaluate from the DOCUMENT
+        # root even on a sub-element selector; './/' stays relative.
+        e = expr.strip()
+        rel = e.startswith(".")
+        if rel:
+            e = e[1:]
+        if rel or not e.startswith(("/", "(")):
+            ctx = [self.node]
+        else:
+            root = self.node
+            while root.parent is not None:
+                root = root.parent
+            ctx = [root]
+        return XList(_eval_compiled(_compile(e), ctx))
 
 
 class XList(list):

@@ -6,6 +6,9 @@ _PORTALS = {}
 
 _MODULES = {
     "immonet": ".immonet",
+    "immoscout": ".immoscout",
+    "ebay": ".ebay_klein",
+    "kalay": ".kalay",
 }
 
 

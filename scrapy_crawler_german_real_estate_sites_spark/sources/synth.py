@@ -294,10 +294,338 @@ def _gen_immonet_city(rng, sink, city, haus, kaufen, seed_id):
 
 
 # ---------------------------------------------------------------------------
+# immoscout page grammar (immoscout.py:93-256; seeds enter at the listing
+# callback — detectPageStart is dead code, immoscout.py:81-83)
+# ---------------------------------------------------------------------------
+
+def _immoscout_detail_body(rng, city, viertel, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    rooms = rng.choice(["2", "3", "4", "2,5"])
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    parts = [f'<h1 id="expose-title">{title}</h1>']
+    # criteriagroup div(s): 0 (5% → item fails url+title gate), 1, or 2
+    # (only the LAST one's dd values survive — loader-per-div quirk)
+    n_groups = rng.choices([0, 1, 2], weights=[5, 80, 15])[0]
+    canon = None
+    for gi in range(n_groups):
+        dds = []
+        if rng.random() < 0.85:
+            dds.append(f'<dd class="is24qa-typ grid-item three-fifths">{"Haus" if haus else "Etagenwohnung"}</dd>')
+        if rng.random() < 0.6:
+            dds.append(f'<dd class="is24qa-bezugsfrei-ab grid-item three-fifths">{rng.choice(_DATES)}</dd>')
+        if rng.random() < 0.4:
+            dds.append(f'<dd class="is24qa-haustiere grid-item three-fifths">{rng.choice(["Ja", "Nein", "Nach Vereinbarung"])}</dd>')
+        if rng.random() < 0.4:
+            dds.append('<dd class="is24qa-garage-stellplatz grid-item three-fifths">1 Stellplatz</dd>')
+        parts.append(
+            '<div class="criteriagroup criteria-group--two-columns">'
+            + "".join(dds)
+            + "</div>"
+        )
+    parts.append('<dd class="is24qa-zimmer grid-item three-fifths">%s</dd>' % rng.choice(["2", "3", "4", "2,5"]))
+    if kaufen:
+        if rng.random() < 0.9:
+            parts.append(f'<div class="is24qa-kaufpreis is24-value font-semibold is24-preis-value">{rng.choice(_BUY_PRICES)}</div>')
+        parts.append('<dd class="is24qa-wohnflaeche-ca grid-item three-fifths">%s m²</dd>' % rng.choice(["75", "102,5", "88"]))
+        if rng.random() < 0.5:
+            parts.append('<span class="is24qa-provisionsfrei-label">Provisionsfrei</span>')
+        if haus and rng.random() < 0.8:
+            parts.append('<dd class="is24qa-grundstueck-ca grid-item three-fifths">%s m²</dd>' % rng.choice(["250", "410"]))
+    else:
+        if rng.random() < 0.9:
+            parts.append(f'<div class="is24qa-kaltmiete is24-value font-semibold">{rng.choice(_RENT_PRICES)}</div>')
+        parts.append('<div class="is24qa-flaeche is24-value font-semibold">%s m²</div>' % rng.choice(["60,5", "75", "48"]))
+        if rng.random() < 0.6:
+            parts.append(f'<dd class="is24qa-nebenkosten grid-item three-fifths">+<span>NK</span>{rng.choice(_NEBENK)}</dd>')
+        if rng.random() < 0.5:
+            parts.append(f'<dd class="is24qa-gesamtmiete grid-item three-fifths font-bold">{rng.choice(_RENT_PRICES)}</dd>')
+    n_img = rng.randint(0, 7)
+    for _ in range(n_img):
+        parts.append(f'<img class="sp-image " data-src="https://pic.is24.de/{rng.randrange(10**9)}.jpg"/>')
+    feats = []
+    if rng.random() < 0.5:
+        feats.append('<span class="is24qa-balkon-terrasse-label">Balkon/ Terrasse</span>')
+    if rng.random() < 0.4:
+        feats.append('<span class="is24qa-keller-label">Keller</span>')
+    if rng.random() < 0.3:
+        feats.append('<span class="is24qa-garten-mitbenutzung-label">Garten/ -mitbenutzung</span>')
+    if rng.random() < 0.3:
+        feats.append('<span class="is24qa-personenaufzug-label">Personenaufzug</span>')
+    if rng.random() < 0.2:
+        feats.append('<span class="is24qa-stufenloser-zugang-label">Stufenloser Zugang</span>')
+    if feats:
+        parts.append('<div class="criteriagroup boolean-listing padding-top-l">' + "".join(feats) + "</div>")
+    if rng.random() < 0.3:
+        parts.append('<span class="is24qa-einbaukueche-label">Einbauküche</span>')
+    if rng.random() < 0.85:
+        street = f"{rng.choice(_STREETS)} {rng.randint(1, 180)}"
+        parts.append(f'<span class="block font-nowrap print-hide">{street}, {city["stadt"]}</span>')
+    parts.append(f'<a href="/umkreis">{viertel}</a><ul class="breadcrumb__item--current"><li>x</li></ul>')
+    if gone:
+        parts.append("<p>Angebot wurde deaktiviert</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>", canon
+
+
+def _gen_immoscout_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    obj = "haus" if haus == 1 else "wohnung"
+    sucht = "kaufen" if kaufen else "mieten"
+    base = f"https://www.immobilienscout24.de/Suche/de/stadt{stadtid}/{obj}-{sucht}"
+    seed_url = base + "?pagenumber=1"
+    last_page = rng.randint(2, 5)
+    detail_ids = []
+
+    def new_detail():
+        if detail_ids and rng.random() < 0.06:
+            return rng.choice(detail_ids)
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(6, 10)
+        anchors = []
+        for _ in range(n):
+            if rng.random() < 0.05:
+                # absolute link → skipped by the spider (immoscout.py:107)
+                anchors.append(
+                    '<a class="result-list-entry__brand-title-container x" '
+                    'href="https://partner.example.de/x">partner</a>'
+                )
+                continue
+            did = new_detail()
+            href = f"/expose/{did}"
+            anchors.append(
+                f'<a class="result-list-entry__brand-title-container x" href="{href}">exposé</a>'
+            )
+            durl = "https://www.immobilienscout24.de" + href
+            viertel = rng.choice(city["stadtviertel"])
+            body, _ = _immoscout_detail_body(
+                rng, city, viertel, haus, kaufen, gone=rng.random() < 0.02
+            )
+            # canonical link == detail url (the item's url field)
+            body = body.replace(
+                "<html><body>",
+                f'<html><head><link rel="canonical" href="{durl}"/></head><body>',
+            )
+            sink.add(durl, body)
+        nxt = (
+            f'<a data-is24-qa="paging_bottom_next" href="?pagenumber={page + 1}">weiter</a>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>Immobilien in {city['stadt']} - Seite {page}</h1>
+{"".join(anchors)}
+{nxt}
+</body></html>"""
+        sink.add(base + f"?pagenumber={page}", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "immoscout",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# ebay-kleinanzeigen page grammar (ebay-klein.py:63-157)
+# ---------------------------------------------------------------------------
+
+def _ebay_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    parts = [f'<h1 id="viewad-title">{title}</h1>']
+    r = rng.random()
+    if r < 0.8:
+        price = rng.choice(["450 €", "1.200 €", "650€", "299.000 €", "780 € VB"])
+    elif r < 0.9:
+        price = "VB"  # no digits → item dropped (ebay-klein.py:111-113)
+    else:
+        price = "Auf Anfrage"
+    parts.append(f'<h2 id="viewad-price">{price}</h2>')
+    dets = []
+    if rng.random() < 0.85:
+        dets.append(f"<li>Wohnfläche <span>{rng.choice(['75 m²', '1.050 m²', '48 m²'])}</span></li>")
+    if rng.random() < 0.85:
+        dets.append(f"<li>Zimmer <span>{rng.choice(['2', '3', '4,5'])}</span></li>")
+    if haus and rng.random() < 0.7:
+        dets.append(f"<li>Grundstücksfläche <span>{rng.choice(['250 m²', '410 m²'])}</span></li>")
+    if dets:
+        parts.append('<ul class="addetailslist">' + "".join(dets) + "</ul>")
+    if rng.random() < 0.9:
+        parts.append(f'<span id="viewad-locality">{rng.randint(10000, 99999)} {city["stadt"]}</span>')
+    for _ in range(rng.randint(0, 5)):
+        parts.append(f'<div class="galleryimage-element x"><img src="https://img.ebay-kl.de/{rng.randrange(10**9)}.jpg"/></div>')
+    tags = rng.sample(
+        ["Keller", "Garage", "Haustiere erlaubt", "Stufenloser Zugang",
+         "Möbliert", "Einbauküche", "Balkon", "Terrasse"],
+        rng.randint(0, 4),
+    )
+    if tags:
+        parts.append('<ul class="checktaglist">' + "".join(f"<li>{t}</li>" for t in tags) + "</ul>")
+    if kaufen and rng.random() < 0.4:
+        parts.append("<p>Keine zusätzliche Käuferprovision</p>")
+    if gone:
+        parts.append("<p>Objekt nicht mehr verfügbar.</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_ebay_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    seed_url = (
+        f"https://www.ebay-kleinanzeigen.de/s-{'haus' if haus else 'wohnung'}-{sucht}/stadt{stadtid}/k0"
+    )
+    last_page = rng.randint(2, 4)
+    detail_ids = []
+
+    def new_detail():
+        if detail_ids and rng.random() < 0.06:
+            return rng.choice(detail_ids)
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(6, 10)
+        anchors = []
+        for _ in range(n):
+            did = new_detail()
+            href = f"/s-anzeige/{did}"
+            anchors.append(f'<a class="ellipsis" href="{href}">anzeige</a>')
+            durl = "https://www.ebay-kleinanzeigen.de" + href
+            sink.add(durl, _ebay_detail_body(rng, city, haus, kaufen,
+                                             gone=rng.random() < 0.02))
+        # pagination href concatenates onto the SEED url (ebay-klein.py:81)
+        nxt = (
+            f'<a class="pagination-next" href="?p={page + 1}">weiter</a>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>Anzeigen {city['stadt']} Seite {page}</h1>
+{"".join(anchors)}
+{nxt}
+</body></html>"""
+        sink.add(seed_url if page == 1 else seed_url + f"?p={page}", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "ebay",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# kalay page grammar (kalay.py:63-173)
+# ---------------------------------------------------------------------------
+
+def _kalay_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    parts = [f'<h1 id="exposeHeadline">{title}</h1>']
+    rows = []
+    if kaufen:
+        if rng.random() < 0.85:
+            rows.append(f"<tr><td>Kaufpreis</td><td><span>{rng.choice(_BUY_PRICES)}</span></td></tr>")
+        if rng.random() < 0.4:
+            parts.append("<p>Provisionsfrei zu verkaufen</p>")
+    else:
+        if rng.random() < 0.85:
+            rows.append(f"<tr><td>Warmmiete</td><td><span>{rng.choice(_RENT_PRICES)}</span></td></tr>")
+    if rows:
+        parts.append("<table>" + "".join(rows) + "</table>")
+    gi = []
+    if rng.random() < 0.9:  # missing Wohnfläche → item dropped (quirk)
+        gi.append(f"<p><span>{rng.choice(['75,5', '60', '102'])}</span><b>Wohnfläche</b></p>")
+    if rng.random() < 0.85:
+        gi.append(f"<p><span>{rng.choice(['2', '3', '4'])}</span><b>Zimmer</b></p>")
+    if gi:
+        parts.append('<div class="general-info">' + "".join(gi) + "</div>")
+    if rng.random() < 0.85:
+        street = f"{rng.choice(_STREETS)} {rng.randint(1, 180)}"
+        parts.append(
+            '<table class="ad-info estate estate-content">'
+            f'<tr><td class="label">Ort</td><td><span>{rng.randint(10000, 99999)} {city["stadt"]}</span></td></tr>'
+            f'<tr><td class="label">Straße</td><td><span>{street}</span></td></tr>'
+            "</table>"
+        )
+    feats = rng.sample(
+        ["Keller", "Garage", "Haustier erlaubt", "barrierefrei", "Möbliert",
+         "Einbauküche", "Balkon", "Terrasse", "Garten"],
+        rng.randint(0, 4),
+    )
+    if feats:
+        parts.append(
+            '<table class="ad-info estate  estate-content extra">'
+            + "".join(f"<tr><td>{f}</td></tr>" for f in feats)
+            + "</table>"
+        )
+    for _ in range(rng.randint(0, 4)):
+        parts.append(
+            f'<img class="gallery-cell img" data-flickity-lazyload="https://img.kalaydo.de/{rng.randrange(10**9)}.jpg"/>'
+        )
+    if gone:
+        parts.append("<p>Objekt nicht mehr verfügbar.</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_kalay_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    base = f"https://www.kalaydo.de/immobilien/{'haus' if haus else 'wohnung'}-{sucht}/stadt{stadtid}"
+    seed_url = base + "/seite-1"
+    last_page = rng.randint(2, 4)
+    detail_ids = []
+
+    def new_detail():
+        if detail_ids and rng.random() < 0.06:
+            return rng.choice(detail_ids)
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(6, 10)
+        anchors = []
+        for _ in range(n):
+            did = new_detail()
+            durl = f"https://www.kalaydo.de/immobilien/anzeige/{did}"
+            anchors.append(
+                f'<div class="clear-row content-container"><a href="{durl}">anzeige</a></div>'
+            )
+            sink.add(durl, _kalay_detail_body(rng, city, haus, kaufen,
+                                              gone=rng.random() < 0.02))
+        nxt = (
+            f'<a rel="next" href="{base}/seite-{page + 1}">weiter</a>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>Kalaydo {city['stadt']} Seite {page}</h1>
+{"".join(anchors)}
+{nxt}
+</body></html>"""
+        sink.add(base + f"/seite-{page}", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "kalay",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
-PORTAL_GENERATORS = {"immonet": _gen_immonet_city}
+PORTAL_GENERATORS = {
+    "immonet": _gen_immonet_city,
+    "immoscout": _gen_immoscout_city,
+    "ebay": _gen_ebay_city,
+    "kalay": _gen_kalay_city,
+}
 
 
 def make_cities(n):
