@@ -96,14 +96,17 @@ def dedup_ngram_jaccard(
 # 3. MinHash + LSH near-dup (approximate at scale)
 # ---------------------------------------------------------------------------
 
-def minhash_sig(text_col, num_hashes=16, n=3):
+def minhash_sig_from_shingles(sh_col, num_hashes=16):
     """MinHash signature as array<string>: h_i = min(md5(i||':'||shingle)).
-    md5 keeps the oracle reproducible in DuckDB byte-for-byte."""
-    sh = shingles_col(text_col, n)
+    md5 keeps the oracle reproducible in DuckDB byte-for-byte.  Takes a
+    MATERIALIZED shingle column so the shingling runs once per row, not
+    once per hash index (16× less work — measured 126s → ~20s at sf0.1)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            F.transform(
+                sh_col, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
+            )
         ),
     )
 
@@ -117,25 +120,34 @@ def dedup_minhash_lsh(
     join replaces the quadratic shingle self-join; bucket keys are
     hash-uniform so the shuffle is skew-free by construction."""
     rows = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        minhash_sig(text_col, num_hashes, n).alias("sig"),
-    ).where(F.size(shingles_col(text_col, n)) > 0)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    with_sh = docs.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("shs")
+    ).where(F.size("shs") > 0)
+    # exchange barriers: materialize the heavy higher-order expressions once
+    # per stage (they fall back to interpreted eval when fused into one
+    # giant expression tree) and let the self-join reuse the exchange
+    sig = with_sh.repartition(par, "id").select(
+        "id", minhash_sig_from_shingles(F.col("shs"), num_hashes).alias("sig")
+    )
+    banded = (
+        sig.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.bucket")
+        .repartition(par, "band", "bucket")
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -144,9 +156,7 @@ def dedup_minhash_lsh(
         .distinct()
     )
     # exact verify on the candidate set
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("shs")
-    )
+    sh = with_sh
     out = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
@@ -168,13 +178,17 @@ def dedup_minhash_lsh(
 # 4. SimHash (64-bit, md5-derived bit weights)
 # ---------------------------------------------------------------------------
 
-def simhash_col(text_col, bits=32):
-    """SimHash over word tokens: sign-sum of md5-derived bit vectors.
-    Implemented with higher-order aggregates; 32 bits keeps the bit loop
-    codegen-friendly (two md5 halves at 64 would double the expression)."""
+def token_hashes_col(text_col):
+    """Per-token 32-bit hashes (first 8 md5 hex chars) — materialized once
+    per row so the 32-bit sign-sum doesn't re-hash every token 32 times."""
     toks = F.array_distinct(tokens_col(text_col))
-    # per token: integer from first 8 hex chars of md5 (32 bits)
-    hv = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(hv, bits=32):
+    """SimHash from pre-hashed tokens: sign-sum per bit."""
     # (h >> b) & 1 with a Column shift amount: floor-div by 2^b, mod 2
     bit_of = lambda h, b: (
         (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
@@ -202,36 +216,43 @@ def dedup_simhash(
     → bucket join instead of all-pairs."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    sim = docs.select(
-        F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sv")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sim = (
+        docs.select(F.col(id_col).alias("id"), token_hashes_col(text_col).alias("hv"))
+        .repartition(par, "id")
+        .select("id", simhash_from_hashes(F.col("hv"), bits).alias("sv"))
     )
-    banded = sim.select(
-        "id",
-        "sv",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "", F.slice(F.col("sv"), b * band_bits + 1, band_bits)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sv", "bb.band", "bb.bucket")
+    banded = (
+        sim.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat_ws(
+                            "", F.slice(F.col("sv"), b * band_bits + 1, band_bits)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("id", "bb.band", "bb.bucket")
+        .repartition(par, "band", "bucket")
+    )
+    # distinct on bare id pairs, then join the signatures back (keeps the
+    # wide arrays out of the join+distinct shuffle)
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sv").alias("sv_a"),
-            F.col("b.sv").alias("sv_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    sv = sim.repartition(par, "id")
+    pairs = pairs.join(
+        sv.select(F.col("id").alias("id_a"), F.col("sv").alias("sv_a")), "id_a"
+    ).join(sv.select(F.col("id").alias("id_b"), F.col("sv").alias("sv_b")), "id_b")
     hamming = F.aggregate(
         F.zip_with("sv_a", "sv_b", lambda x, y: F.abs(x - y)),
         F.lit(0),

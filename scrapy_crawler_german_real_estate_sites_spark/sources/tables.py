@@ -60,6 +60,11 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # single-file parquet inputs must still fan out to all cores for
+        # expression-heavy scans (minhash/simhash/parse)
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
