@@ -9,6 +9,11 @@ _MODULES = {
     "immoscout": ".immoscout",
     "ebay": ".ebay_klein",
     "kalay": ".kalay",
+    "berlin": ".berlin",
+    "wohnungsmarkt24": ".wohnungsmarkt24",
+    "ohnemakler": ".ohnemakler",
+    "sueddeutsche": ".sueddeutsche",
+    "wohnungsboerse": ".wohnungsboerse",
 }
 
 

@@ -617,6 +617,505 @@ def _gen_kalay_city(rng, sink, city, haus, kaufen, seed_id):
 
 
 # ---------------------------------------------------------------------------
+# berlin.de page grammar (berlin.py:61-183)
+# ---------------------------------------------------------------------------
+
+def _berlin_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    parts = [f'<h1 class="heading--article">{title}</h1>', '<div id="expose">']
+
+    def fact(label, value):
+        return (
+            f'<li><span class="label">{label}</span>'
+            f'<span class="text">{value}</span></li>'
+        )
+
+    facts = []
+    if kaufen:
+        # two Kaufpreis texts — the spider reads the SECOND (berlin.py:110);
+        # buy items are dropped anyway by the malformed Courtage xpath
+        facts.append(fact("Kaufpreis-Info", "siehe unten"))
+        facts.append(fact("Kaufpreis", rng.choice(_BUY_PRICES)))
+    else:
+        r = rng.random()
+        if r < 0.6:
+            facts.append(fact("Warm-Miete", rng.choice(_RENT_PRICES)))
+        elif r < 0.9:
+            facts.append(fact("Netto-Kaltmiete", rng.choice(_RENT_PRICES)))
+    if rng.random() < 0.9:
+        facts.append(fact("Wohnfläche", rng.choice(["75,5 m²", "60 m²", "102 m²"])))
+    if rng.random() < 0.85:
+        facts.append(fact("Zimmer", rng.choice(["2", "3", "4"])))
+    if haus and rng.random() < 0.7:
+        facts.append(fact("Gesamtfläche", rng.choice(["250 m²", "410 m²"])))
+    parts.append("<ul>" + "".join(facts) + "</ul>")
+    feats = rng.sample(
+        ["Keller", "Garage", "Haustiere willkommen", "barrierefrei", "Möbliert",
+         "Einbauküche", "Balkon", "Terrasse", "Garten"],
+        rng.randint(0, 4),
+    )
+    for f in feats:
+        parts.append(f"<p>{f}</p>")
+    parts.append("</div>")
+    if rng.random() < 0.85:
+        parts.append(f'<span class="street-address">{rng.choice(_STREETS)} {rng.randint(1, 180)}</span>')
+    if rng.random() < 0.8:
+        parts.append(f'<span class="postal-code">{rng.randint(10000, 14999)}</span>')
+    if rng.random() < 0.8:
+        parts.append(f'<span class="locality">{rng.choice(city["stadtviertel"])}</span>')
+    for _ in range(rng.randint(0, 4)):
+        parts.append(
+            f'<img data-src="https://pic.immobilienscout24.de/b/{rng.randrange(10**9)}.jpg"/>'
+        )
+    if gone:
+        parts.append("<p>Angebot wurde deaktiviert</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_berlin_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    base = f"/immobilien/{'haus' if haus else 'wohnung'}-{sucht}/stadt{stadtid}"
+    seed_url = "https://www.berlin.de" + base + "?page=1"
+    last_page = rng.randint(2, 4)
+    detail_ids = []
+
+    def new_detail():
+        if detail_ids and rng.random() < 0.06:
+            return rng.choice(detail_ids)
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(6, 10)
+        arts = []
+        for _ in range(n):
+            did = new_detail()
+            href = f"/immobilien/expose/{did}"
+            arts.append(f'<article><h3><a href="{href}">anzeige</a></h3></article>')
+            sink.add(
+                "https://www.berlin.de" + href,
+                _berlin_detail_body(rng, city, haus, kaufen, gone=rng.random() < 0.02),
+            )
+        nxt = (
+            f'<a rel="next" href="{base}?page={page + 1}">oben</a>'
+            f'<a rel="next" href="{base}?page={page + 1}">unten</a>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>Wohnungen {city['stadt']} Seite {page}</h1>
+{"".join(arts)}
+{nxt}
+</body></html>"""
+        sink.add("https://www.berlin.de" + base + f"?page={page}", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "berlin",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# wohnungsmarkt24 page grammar (wohnungsmarkt24.py:73-176)
+# ---------------------------------------------------------------------------
+
+def _wm24_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} zum Angebot"
+    parts = [f'<h1 class="headline-expose">{title}</h1>']
+    if rng.random() < 0.9:
+        # adresse h2: split('-')[1]; 8% without '-' → item dropped (quirk)
+        if rng.random() < 0.92:
+            parts.append(
+                f'<h2 title="Daten">Objekt - {city["stadt"]} {rng.choice(city["stadtviertel"])}</h2>'
+            )
+        else:
+            parts.append(f'<h2 title="Daten">Objekt {city["stadt"]}</h2>')
+    if rng.random() < 0.8:
+        parts.append(
+            '<div class="row margin-bottom-10"><div>a</div><div>b</div>'
+            f'<div><strong>{rng.choice(["2", "3", "4"])} Zi.</strong></div></div>'
+        )
+    # odd/even fact table: odd[1]=kosten, odd[3]=flaeche, even[3]=grundstueck
+    rows = []
+    kost = rng.choice(_RENT_PRICES if not kaufen else _BUY_PRICES)
+    rows.append(f'<tr class="odd"><td class="label">Preis</td><td class="value">{kost}</td></tr>')
+    rows.append('<tr class="even"><td class="label">Etage</td><td class="value">2</td></tr>')
+    rows.append(f'<tr class="odd"><td class="label">Baujahr</td><td class="value">{rng.randint(1950, 2020)}</td></tr>')
+    rows.append('<tr class="even"><td class="label">Heizung</td><td class="value">Zentral</td></tr>')
+    if rng.random() < 0.9:
+        rows.append(f'<tr class="odd"><td class="label">Fläche</td><td class="value">{rng.choice(["75,5", "60", "102"])} m²</td></tr>')
+    if rng.random() < 0.8:
+        rows.append(f'<tr class="even"><td class="label">Grund</td><td class="value">{rng.choice(["250", "410"])} m²</td></tr>')
+    parts.append("<table>" + "".join(rows) + "</table>")
+    if kaufen and rng.random() < 0.4:
+        parts.append("<p>Dieses Objekt ist provisionsfrei</p>")
+    feats = rng.sample(
+        ["Keller vorhanden", "Balkon", "Garage", "Haustiere erlaubt",
+         "Stufenloser Zugang", "Möbliert", "Terrassen"],
+        rng.randint(0, 3),
+    )
+    for f in feats:
+        parts.append(f"<p>{f}</p>")
+    if rng.random() < 0.6:
+        imgs = "".join(
+            f'<div><img src="https://img.wm24.de/{rng.randrange(10**9)}.jpg"/></div>'
+            for _ in range(rng.randint(1, 4))
+        )
+        parts.append(f'<div class="carousel-inner">{imgs}</div>')
+    if gone:
+        parts.append("<p>Objekt nicht mehr verfügbar.</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_wm24_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    base = f"https://www.wohnungsmarkt24.de/{'haus' if haus else 'wohnung'}-{sucht}-stadt{stadtid}"
+    seed_url = base + "_p1.html"
+    last_page = rng.randint(2, 4)
+    detail_ids = []
+
+    def new_detail():
+        if detail_ids and rng.random() < 0.06:
+            return rng.choice(detail_ids)
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(6, 10)
+        heads = []
+        for _ in range(n):
+            did = new_detail()
+            href = f"anzeige/{did}.html"  # relative; '/'-concat (quirk)
+            heads.append(f'<h3 class="headline-se-1"><a href="{href}">anzeige</a></h3>')
+            sink.add(
+                "https://www.wohnungsmarkt24.de/" + href,
+                _wm24_detail_body(rng, city, haus, kaufen, gone=rng.random() < 0.02),
+            )
+        nxt = (
+            f'<a class="nextLink slink" href="{base}_p{page + 1}.html">weiter</a>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>WM24 {city['stadt']} Seite {page}</h1>
+{"".join(heads)}
+{nxt}
+</body></html>"""
+        sink.add(base + f"_p{page}.html", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "wohnungsmarkt24",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# ohne-makler page grammar (ohnemakler.py:74-189)
+# ---------------------------------------------------------------------------
+
+def _ohnemakler_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} von privat"
+    parts = [f'<h1 class="blue">{title}</h1>']
+    if rng.random() < 0.9:
+        parts.append(f"<p>Zimmer (Anzahl):<br/>{rng.choice(['2', '3', '4'])}</p>")
+    if rng.random() < 0.9:
+        parts.append(f"<p>Wohnfläche:<br/>{rng.choice(['75,5 m²', '60 m²', '102 m²'])}</p>")
+    if kaufen:
+        if rng.random() < 0.9:
+            parts.append(f"<p>Kaufpreis: <span>{rng.choice(_BUY_PRICES)}</span></p>")
+        if rng.random() < 0.4:
+            parts.append("<p>Diese Immobilie ist provisionsfrei</p>")
+    else:
+        r = rng.random()
+        if r < 0.3:
+            parts.append(f"<p>Pauschal: <span>{rng.choice(_RENT_PRICES)}</span></p>")
+        else:
+            # arithmetic-sum path (ohnemakler.py:136-142); sometimes parts
+            # missing → item dropped
+            if r < 0.9:
+                parts.append(f"<p>Kaltmiete: <span>{rng.choice(['450 €', '1.200 €', '635 €'])}</span></p>")
+            if r < 0.85 or r >= 0.9:
+                parts.append(f"<p>Nebenkosten:<br/>{rng.choice(['120 €', '95 €', '210 €'])}</p>")
+    if haus and rng.random() < 0.8:
+        parts.append(f"<p>Grundstücksfläche:<br/>{rng.choice(['250 m²', '410 m²'])}</p>")
+    feats = rng.sample(
+        ["Keller", "Balkon", "Garage", "Garten", "Einbauküche",
+         "Haustiere erlaubt", "Barrierefrei", "Möbliert", "Terrasse"],
+        rng.randint(0, 4),
+    )
+    for f in feats:
+        parts.append(f"<p>{f}</p>")
+    for _ in range(rng.randint(0, 4)):
+        parts.append(f'<a class="pictures lightbox" href="/media/{rng.randrange(10**9)}.jpg">bild</a>')
+    # adresse block — missing 5% → item dropped (ohnemakler.py:179)
+    parts.append('<div class="span4">x</div><div class="span4">y</div>')
+    if rng.random() < 0.95:
+        parts.append(
+            f'<div class="span4"><h4>Anbieter</h4><p>{rng.choice(_STREETS)} '
+            f'{rng.randint(1, 180)}, {city["stadt"]}</p></div>'
+        )
+    else:
+        parts.append('<div class="span4"><h4>Anbieter</h4></div>')
+    if gone:
+        parts.append("<p>Angebot wurde deaktiviert</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_ohnemakler_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    base = f"https://www.ohne-makler.net/immobilien/{'haus' if haus else 'wohnung'}-{sucht}/stadt{stadtid}"
+    seed_url = base + "/1/"
+    last_page = rng.randint(2, 4)
+    detail_ids = []
+
+    def new_detail():
+        if detail_ids and rng.random() < 0.06:
+            return rng.choice(detail_ids)
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(6, 10)
+        anchors = []
+        for _ in range(n):
+            did = new_detail()
+            href = f"immobilie/{did}/"  # relative, '/'-concat
+            anchors.append(f'<a class="red" href="{href}">anzeige</a>')
+            sink.add(
+                "https://www.ohne-makler.net/" + href,
+                _ohnemakler_detail_body(rng, city, haus, kaufen,
+                                        gone=rng.random() < 0.02),
+            )
+        nxt = (
+            f'<li class="next"><a href="{base}/{page + 1}/">weiter</a></li>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>ohne-makler {city['stadt']} Seite {page}</h1>
+{"".join(anchors)}
+<ul>{nxt}</ul>
+</body></html>"""
+        sink.add(base + f"/{page}/", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "ohnemakler",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# sueddeutsche page grammar (JSON listing, sueddeutsche.py:64-183)
+# ---------------------------------------------------------------------------
+
+def _sueddeutsche_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    parts = [f'<h1 class="exposeTitle">{title}</h1>']
+    rows = []
+    if kaufen:
+        if rng.random() < 0.9:
+            rows.append(
+                f"<tr><td><span>Kaufpreis</span></td><td><div>{rng.choice(_BUY_PRICES)}</div></td></tr>"
+            )
+        if rng.random() < 0.4:
+            parts.append("<p>Provisionsfrei für den Käufer</p>")
+    else:
+        r = rng.random()
+        if r < 0.5:
+            rows.append(
+                f"<tr><td><span>Miete inkl. NK</span></td><td><div>{rng.choice(_RENT_PRICES)}</div></td></tr>"
+            )
+        elif r < 0.85:
+            rows.append(
+                f"<tr><td><span>Miete zzgl. NK</span></td><td><div>{rng.choice(_RENT_PRICES)}</div></td></tr>"
+            )
+    if haus:
+        rows.append(
+            f'<tr><td class="firstTd2">G1</td><td><div>x</div></td></tr>'
+            f'<tr><td class="firstTd2">G2</td><td><div>{rng.choice(["250 m²", "410 m²"])}</div></td></tr>'
+        )
+    if rows:
+        parts.append("<table>" + "".join(rows) + "</table>")
+    if rng.random() < 0.9:
+        parts.append(
+            '<div class="cell"><div><b>Wohnfläche</b></div>'
+            f'<div class="value">{rng.choice(["75,5 m²", "60 m²", "102 m²"])}</div></div>'
+        )
+    if rng.random() < 0.85:
+        parts.append(
+            '<div class="cell2"><span>Zimmeranzahl</span>'
+            f'<div class="value">{rng.choice(["2", "3", "4"])}</div></div>'
+        )
+    if rng.random() < 0.85:
+        spans = [
+            f"<span>{rng.randint(80000, 99999)},</span>",
+            f"<span>{city['stadt']}</span>",
+            "<span>Bayern</span>",
+            f"<span>{rng.choice(city['stadtviertel'])}</span>",
+        ]
+        parts.append(f'<div class="exposeAddr"><div>{"".join(spans)}</div></div>')
+    feats = rng.sample(
+        ["Keller", "Garage", "Haustier erlaubt", "barrierefrei", "Möbliert",
+         "Einbauküche", "Balkon", "Terrasse", "Garten"],
+        rng.randint(0, 4),
+    )
+    if feats:
+        parts.append(
+            '<div class="hideContentInner">'
+            + "".join(f"<p>{f}</p>" for f in feats)
+            + "</div>"
+        )
+    if rng.random() < 0.6:
+        imgs = "".join(
+            f'<li><img src="https://img.sz.de/{rng.randrange(10**9)}.jpg"/></li>'
+            for _ in range(rng.randint(1, 4))
+        )
+        parts.append(f'<ul class="imageSliderThumbs">{imgs}</ul>')
+    if gone:
+        parts.append("<p>Objekt nicht mehr verfügbar.</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_sueddeutsche_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    seed_url = (
+        "https://immobilienmarkt.sueddeutsche.de/api/search"
+        f"?city={stadtid}&art={sucht}&obj={'haus' if haus else 'wohnung'}"
+    )
+    n = rng.randint(8, 16)
+    results = []
+    detail_ids = []
+    for _ in range(n):
+        if detail_ids and rng.random() < 0.06:
+            did = rng.choice(detail_ids)
+        else:
+            did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+            detail_ids.append(did)
+        href = f"/expose/{did}"
+        results.append({"url": href, "id": did})
+        sink.add(
+            "https://immobilienmarkt.sueddeutsche.de" + href,
+            _sueddeutsche_detail_body(rng, city, haus, kaufen,
+                                      gone=rng.random() < 0.02),
+        )
+    body = json.dumps({"searchResult": {"result": results}}, ensure_ascii=False)
+    sink.add(seed_url, body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "sueddeutsche",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# wohnungsboerse page grammar (wohnungsboerse.py:72-182; no pagination)
+# ---------------------------------------------------------------------------
+
+def _wohnungsboerse_detail_body(rng, city, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    parts = [f'<h2 class="dotdotdot">{title}</h2>']
+    if rng.random() < 0.85:
+        parts.append(f"<dl><dt>ZIMMER</dt><dd>{rng.choice(['2', '3', '4'])}</dd></dl>")
+    if rng.random() < 0.85:
+        parts.append(f"<dl><dt>FLÄCHE</dt><dd>{rng.choice(['75,5 m²', '60 m²'])}</dd></dl>")
+    if kaufen:
+        if rng.random() < 0.9:
+            parts.append(
+                f"<dl><dt>KAUFPREIS</dt><dd>{rng.choice(_BUY_PRICES)}</dd></dl>"
+            )
+        if rng.random() < 0.5:
+            parts.append("<p>Provision: 3,57%</p>")  # 'Provision' → 1 (quirk)
+    else:
+        if rng.random() < 0.9:
+            parts.append(
+                f"<div><div><b>Gesamtmiete</b></div><div><div>{rng.choice(_RENT_PRICES)}</div></div></div>"
+            )
+    if haus and rng.random() < 0.7:
+        parts.append(
+            f"<div><div>Grundstücksfläche:</div><div>{rng.choice(['250 m²', '410 m²'])}</div></div>"
+        )
+    feats = rng.sample(
+        ["Keller", "Balkon", "Garage", "Haustiere erlaubt",
+         "Stufenloser Zugang", "Möbliert", "Terrasse"],
+        rng.randint(0, 3),
+    )
+    for f in feats:
+        parts.append(f"<p>{f}</p>")
+    for _ in range(rng.randint(0, 4)):
+        parts.append(
+            f'<img src="https://cdn.wohnungsboerse.net/img/thumbs/{rng.randrange(10**9)}.jpg"/>'
+        )
+    if rng.random() < 0.85:
+        parts.append(
+            f'<div class="mb-2 mb-lg-3 pl-3 pl-lg-0">{rng.choice(_STREETS)} '
+            f'{rng.randint(1, 180)}, {city["stadt"]}</div>'
+        )
+    if gone:
+        parts.append("<p>Angebot wurde deaktiviert</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_wohnungsboerse_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    sucht = "kaufen" if kaufen else "mieten"
+    seed_url = (
+        f"https://www.wohnungsboerse.net/searches/{'haus' if haus else 'wohnung'}-{sucht}-stadt{stadtid}"
+    )
+    n = rng.randint(8, 16)
+    anchors = []
+    detail_ids = []
+    for _ in range(n):
+        if detail_ids and rng.random() < 0.06:
+            did = rng.choice(detail_ids)
+        else:
+            did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+            detail_ids.append(did)
+        if rng.random() < 0.15:
+            href = f"https://www.wohnungsboerse.net/immodetail/{did}"
+        else:
+            href = f"/immodetail/{did}"
+        durl = href if "wohnungsboerse" in href else "https://www.wohnungsboerse.net" + href
+        thumb = (
+            f'<img data-src="https://cdn.wohnungsboerse.net/img/thumbs/t{did}.jpg"/>'
+            if rng.random() < 0.8
+            else ""
+        )
+        anchors.append(f'<a href="{href}">{thumb}anzeige</a>')
+        sink.add(
+            durl,
+            _wohnungsboerse_detail_body(rng, city, haus, kaufen,
+                                        gone=rng.random() < 0.02),
+        )
+    body = f"""<html><body>
+<h1>Wohnungsboerse {city['stadt']}</h1>
+{"".join(anchors)}
+</body></html>"""
+    sink.add(seed_url, body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "wohnungsboerse",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -625,6 +1124,11 @@ PORTAL_GENERATORS = {
     "immoscout": _gen_immoscout_city,
     "ebay": _gen_ebay_city,
     "kalay": _gen_kalay_city,
+    "berlin": _gen_berlin_city,
+    "wohnungsmarkt24": _gen_wm24_city,
+    "ohnemakler": _gen_ohnemakler_city,
+    "sueddeutsche": _gen_sueddeutsche_city,
+    "wohnungsboerse": _gen_wohnungsboerse_city,
 }
 
 
