@@ -352,16 +352,35 @@ _RAW_FIELDS = {"images", "lat", "lon", "createdat", "alive", "chatid",
                "bezugsfreiab_wg", "wgsize", "wgwomenonly"}
 
 
+# Declared fields (items.py:140-264).  Scrapy Items raise KeyError when an
+# undeclared field is set at load_item — the sparkasse spider relies on this
+# (its 'bildN' adds abort parsing, sparkasse.py:145-169).
+IMMOBILIE_FIELDS = frozenset(
+    "title kaltmiete nebenkosten gesamtkosten zimmer flache grundstuck "
+    "anbieter typ bezugsfreiab provisionsfrei haustier garage terrasse "
+    "keller garten balkon ebk aufzug mobliert images barriefrei ort kaufen "
+    "haus wg url adresse stadtid stadtvid lat chatid lon createdat alive "
+    "stadtname moebliert".split()
+)
+WG_FIELDS = frozenset(
+    "title gesamtkosten gesamtflache zimmerflache anbieter haus bezugsfreiab "
+    "wgsize anzahlf anzahlm gesuchtf gesuchtm wgwomenonly garten garage "
+    "keller balkon kaution aufzug moebliert haustier lat lon barriefrei "
+    "adresse url images createdat stadtid stadtvid".split()
+)
+
+
 class ItemLoader:
     """Minimal faithful ItemLoader: accumulate per field, apply input
     processor per add, output processor (TakeFirst) at load_item.
     Direct ``item[f] = v`` assignments bypass processors, exactly like
     Scrapy Items (used for prices at immonet.py:183 etc.)."""
 
-    def __init__(self, item, selector, processors):
+    def __init__(self, item, selector, processors, fields=IMMOBILIE_FIELDS):
         self.item = item  # plain dict
         self.selector = selector  # XDoc
         self.processors = processors
+        self.fields = fields
         self._values = {}
 
     def add_value(self, field, value):
@@ -375,6 +394,8 @@ class ItemLoader:
 
     def load_item(self):
         for field, vals in self._values.items():
+            if field not in self.fields:
+                raise KeyError(f"item does not support field: {field}")
             out = take_first(vals)
             if out is not None:
                 self.item[field] = out

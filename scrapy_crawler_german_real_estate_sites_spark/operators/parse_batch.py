@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 PARSED_SCHEMA = (
     "seed_id string, fifo_seq long, url string, kind string, "
     "netloc string, partition_id int, parse_ok boolean, "
-    "item_json string, item_kind string, links_json string"
+    "items_json string, links_json string"
 )
 
 LINK_SCHEMA = (
@@ -67,12 +67,11 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in (
                 "seed_id", "fifo_seq", "url", "kind", "netloc", "partition_id",
-                "parse_ok", "item_json", "item_kind", "links_json")}
+                "parse_ok", "items_json", "links_json")}
             for row in pdf.itertuples(index=False):
                 ctx = _make_ctx(row, run_date)
                 meta = json.loads(row.meta) if row.meta else {}
-                item_json = None
-                item_kind = None
+                items = []
                 links = []
                 ok = True
                 try:
@@ -80,9 +79,9 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date) -> DataFrame:
                     pr = get_portal(row.portal).parse(
                         row.kind, body, row.url, meta, ctx
                     )
-                    if pr.item is not None:
-                        item_json = canonical_item_text(pr.item)
-                        item_kind = pr.item_kind or "immo"
+                    items = [
+                        [kind, canonical_item_text(it)] for it, kind in pr.items
+                    ]
                     links = [
                         {
                             "url": lk.url,
@@ -104,8 +103,7 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date) -> DataFrame:
                 out["netloc"].append(row.netloc)
                 out["partition_id"].append(pid)
                 out["parse_ok"].append(ok)
-                out["item_json"].append(item_json)
-                out["item_kind"].append(item_kind)
+                out["items_json"].append(json.dumps(items))
                 out["links_json"].append(json.dumps(links))
             yield pd.DataFrame(out)
 

@@ -14,6 +14,9 @@ _MODULES = {
     "ohnemakler": ".ohnemakler",
     "sueddeutsche": ".sueddeutsche",
     "wohnungsboerse": ".wohnungsboerse",
+    "meinestadt": ".meinestadt",
+    "sparkasse": ".sparkasse",
+    "wgsuche": ".wgsuche",
 }
 
 

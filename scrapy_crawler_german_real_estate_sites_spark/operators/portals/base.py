@@ -64,9 +64,15 @@ class Link:
 @dataclass
 class ParseResult:
     links: list = field(default_factory=list)
-    item: Optional[dict] = None  # extracted listing fields (flat item)
+    item: Optional[dict] = None  # single extracted item (most portals)
     item_kind: Optional[str] = None  # 'immo' | 'wg'
+    items: list = field(default_factory=list)  # [(item, kind)] — pages that
+    #   yield MANY items inline (sparkasse.py:58-169) append here
     stop_seed: bool = False  # spider closed itself (CloseSpider)
+
+    def __post_init__(self):
+        if self.item is not None:
+            self.items.append((self.item, self.item_kind or "immo"))
 
 
 def join_url(base: str, href: str) -> str:

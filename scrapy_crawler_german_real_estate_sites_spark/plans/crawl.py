@@ -55,7 +55,7 @@ STATE_SCHEMA = T.StructType(
 )
 
 PASS_SCHEMA = (
-    "seed_id string, fifo_seq long, url string, kind string, "
+    "seed_id string, fifo_seq long, item_idx int, url string, kind string, "
     "counted boolean, effective boolean, item_json string, item_kind string, "
     "doc_json string, seen_url string, alert string, failure string, "
     "links_json string, partition_id int"
@@ -107,15 +107,18 @@ def pipeline_pass(parsed_with_state: DataFrame, stadte_by_id: dict,
         seed_id = first.seed_id
         stopped = False
         out = []
-        for row in pdf.itertuples(index=False):
-            rec = {
+        def base_rec(row):
+            return {
                 "seed_id": seed_id, "fifo_seq": int(row.fifo_seq),
-                "url": row.url, "kind": row.kind, "counted": False,
-                "effective": False, "item_json": None, "item_kind": None,
-                "doc_json": None, "seen_url": None, "alert": None,
-                "failure": None, "links_json": "[]",
+                "item_idx": -1, "url": row.url, "kind": row.kind,
+                "counted": False, "effective": False, "item_json": None,
+                "item_kind": None, "doc_json": None, "seen_url": None,
+                "alert": None, "failure": None, "links_json": "[]",
                 "partition_id": int(row.partition_id),
             }
+
+        for row in pdf.itertuples(index=False):
+            rec = base_rec(row)
             if stopped:
                 out.append(rec)  # wasted fetch (queue was dropped)
                 continue
@@ -128,29 +131,33 @@ def pipeline_pass(parsed_with_state: DataFrame, stadte_by_id: dict,
             rec["counted"] = True
             rec["effective"] = True
             rec["links_json"] = row.links_json if row.parse_ok else "[]"
-            if row.item_json is not None:
+            out.append(rec)
+            items = json.loads(row.items_json) if row.parse_ok else []
+            for idx, (item_kind, item_json) in enumerate(items):
                 if stop_condition >= DUP_STREAK_LIMIT:  # pipelines.py:363-369
                     stop_condition = 0
                     spider_stop = True
-                item = json.loads(row.item_json)
+                item = json.loads(item_json)
                 doc, seen_url, alert, failure = apply_item(
                     item, stadte_by_id, run_ts
                 )
-                rec["item_json"] = row.item_json
-                rec["item_kind"] = row.item_kind
+                irec = base_rec(row)
+                irec.update(
+                    kind="__item__", item_idx=idx, item_json=item_json,
+                    item_kind=item_kind, seen_url=seen_url, alert=alert,
+                    failure=failure,
+                )
                 if doc is not None:
-                    rec["doc_json"] = json.dumps(
+                    irec["doc_json"] = json.dumps(
                         doc, sort_keys=True, ensure_ascii=False, default=str
                     )
-                rec["seen_url"] = seen_url
-                rec["alert"] = alert
-                rec["failure"] = failure
                 if failure is not None:
                     stop_condition += 1
                 scraped += 1
+                out.append(irec)
                 if scraped >= budget:  # CLOSESPIDER_ITEMCOUNT: queue dropped
                     stopped = True
-            out.append(rec)
+                    break
         out.append(
             {
                 "seed_id": seed_id, "fifo_seq": -1, "url": None,
@@ -165,7 +172,7 @@ def pipeline_pass(parsed_with_state: DataFrame, stadte_by_id: dict,
                     }
                 ),
                 "seen_url": None, "alert": None, "failure": None,
-                "links_json": "[]", "partition_id": -1,
+                "links_json": "[]", "partition_id": -1, "item_idx": -1,
             }
         )
         return pd.DataFrame(out)
@@ -318,12 +325,15 @@ class CrawlEngine:
             st = json.loads(r.doc_json)
             s = self.state[r.seed_id]
             s.update(st)
-        pages_out = passed.where(F.col("kind") != "__state__")
+        pages_out = passed.where(
+            ~F.col("kind").isin("__state__", "__item__")
+        )
+        item_rows = passed.where(F.col("kind") == "__item__")
 
         # --- seen update FIRST: this wave's inserts must be visible to the
         # dedup join below (the fifo-position rule resolves same-wave order)
         inserts = (
-            pages_out.where(F.col("seen_url").isNotNull())
+            item_rows.where(F.col("seen_url").isNotNull())
             .groupBy(F.col("seen_url").alias("url"), "seed_id")
             .agg(F.min("fifo_seq").alias("fifo_seq"))
         )
@@ -428,10 +438,10 @@ class CrawlEngine:
 
         # --- logs + metrics
         self.out_batches["items"].append(
-            pages_out.where(F.col("item_json").isNotNull() & F.col("effective"))
-            .select("seed_id", "fifo_seq", "url", "item_json", "item_kind",
-                    "doc_json", "seen_url", "alert", "failure")
-            .localCheckpoint(eager=True)
+            item_rows.select(
+                "seed_id", "fifo_seq", "item_idx", "url", "item_json",
+                "item_kind", "doc_json", "seen_url", "alert", "failure"
+            ).localCheckpoint(eager=True)
         )
         if self.track_order:
             fetch_rows = (
@@ -443,10 +453,11 @@ class CrawlEngine:
                 (r.seed_id, r.fifo_seq, r.url, r.kind) for r in fetch_rows
             )
         part_stats = (
-            pages_out.groupBy("partition_id")
+            passed.where(F.col("kind") != "__state__")
+            .groupBy("partition_id")
             .agg(
-                F.count("*").alias("parsed"),
-                F.sum(F.col("item_json").isNotNull().cast("int")).alias("items"),
+                F.sum((F.col("kind") != "__item__").cast("int")).alias("parsed"),
+                F.sum((F.col("kind") == "__item__").cast("int")).alias("items"),
             )
             .collect()
         )
@@ -494,9 +505,9 @@ class CrawlEngine:
         dfs = [d for d in self.out_batches["items"]]
         if not dfs:
             return self.spark.createDataFrame(
-                [], "seed_id string, fifo_seq long, url string, item_json string,"
-                    "item_kind string, doc_json string, seen_url string,"
-                    "alert string, failure string")
+                [], "seed_id string, fifo_seq long, item_idx int, url string,"
+                    "item_json string, item_kind string, doc_json string,"
+                    "seen_url string, alert string, failure string")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

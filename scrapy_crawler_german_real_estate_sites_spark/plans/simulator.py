@@ -315,12 +315,11 @@ def simulate(pages: dict, seeds, stadte, hour=7, run_date=None, run_ts=None,
                     res.dup_skips.append((seed["seed_id"], link.url))
                     continue
                 queue.append((link.url, link.kind, link.meta))
-            if pr.item is not None:
-                res.items.append(
-                    (seed["seed_id"], url, dict(pr.item), pr.item_kind or "immo")
-                )
-                pipeline.process_item(dict(pr.item), spider)
+            for it_dict, it_kind in pr.items:
+                res.items.append((seed["seed_id"], url, dict(it_dict), it_kind))
+                pipeline.process_item(dict(it_dict), spider)
                 scraped += 1
                 if scraped >= budget:
                     closed = True  # CLOSESPIDER_ITEMCOUNT → queue dropped
+                    break
     return res

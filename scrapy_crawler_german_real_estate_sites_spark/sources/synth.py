@@ -1116,6 +1116,211 @@ def _gen_wohnungsboerse_city(rng, sink, city, haus, kaufen, seed_id):
 
 
 # ---------------------------------------------------------------------------
+# meinestadt page grammar (JSON listing + detail hop, meinestadt.py:76-190)
+# ---------------------------------------------------------------------------
+
+_MS_EQUIP = ["Tiefgarage", "Garten", "Balkon", "Personenaufzug", "Stellplatz",
+             "Terrasse", "Einbauküche", "Kelleranteil", "provisionsfrei",
+             "Parkett", "Fußbodenheizung"]
+
+
+def _meinestadt_detail_body(rng, city, gone=False):
+    parts = []
+    if rng.random() < 0.85:
+        parts.append(
+            f'<div class="location loc">{rng.choice(_STREETS)} '
+            f'{rng.randint(1, 180)}, {city["stadt"]}</div>'
+        )
+    parts.append('<div class="section_content"><p>Beschreibung</p></div>')
+    if rng.random() < 0.7:
+        parts.append(f'<div class="section_content"><p>{rng.choice(_DATES)}</p></div>')
+    if rng.random() < 0.6:
+        imgs = "".join(
+            f'<div class="m-gallery__imageContainer x"><img class="ImageNormal y" '
+            f'data-flickity-lazyload-src="https://pic.ms.de/{rng.randrange(10**9)}.jpg"/></div>'
+            for _ in range(rng.randint(1, 4))
+        )
+        parts.append(imgs)
+    elif rng.random() < 0.5:
+        parts.append(
+            f'<meta content="https://media-pics2.immowelt.org/{rng.randrange(10**9)}.jpg"/>'
+        )
+    if gone:
+        parts.append("<p>Angebot wurde deaktiviert</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_meinestadt_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    seed_url = (
+        "https://www.meinestadt.de/api/immo"
+        f"?service=immoweltAjax&city={stadtid}&etype={haus}&esr={kaufen}&pageSize=100"
+    )
+    n = rng.randint(8, 16)
+    items = []
+    for k in range(n):  # unique detailUrls (Scrapy request dupefilter)
+        did = f"{stadtid}{haus}{kaufen}{k:04d}"
+        durl = f"https://www.meinestadt.de/immobilien/expose/{did}"
+        equip = ", ".join(rng.sample(_MS_EQUIP, rng.randint(0, 5)))
+        it = {
+            "title": f"{rng.choice(_TITLE_ADJ)} {'Haus' if haus else 'Wohnung'} in {city['stadt']}",
+            "detailUrl": durl,
+            "rooms": rng.choice([2, 3, 4, 2.5]),
+            "livingAreaRaw": rng.choice([48, 60, 75, 102]),
+            "latitude": round(48.0 + rng.random(), 6),
+            "longitude": round(10.0 + rng.random(), 6),
+            "priceRaw": rng.choice([450, 635, 780, 299000, 450000]),
+            "equipmentAsString": equip,
+        }
+        if haus == 1:
+            it["landAreaRaw"] = rng.choice([250, 410, 620])
+        if rng.random() < 0.05:
+            del it["rooms"]  # per-estate KeyError → estate skipped (quirk)
+        items.append(it)
+        sink.add(durl, _meinestadt_detail_body(rng, city, gone=rng.random() < 0.02))
+    sink.add(seed_url, json.dumps({"searchboxResults": {"items": items}},
+                                  ensure_ascii=False))
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "meinestadt",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# sparkasse page grammar (single JSON API page, sparkasse.py:58-169;
+# kaufen=0 seeds are no-ops → only kaufen=1 seeds are emitted)
+# ---------------------------------------------------------------------------
+
+def _gen_sparkasse_city(rng, sink, city, haus, kaufen, seed_id):
+    if kaufen == 0:
+        return None  # sparkasse.py:51-52
+    stadtid = city["id"]
+    seed_url = (
+        "https://immobilien.sparkasse.de/api/estate/"
+        f"?city={stadtid}&type={'buy_residential_house' if haus else 'buy_residential_flat'}"
+    )
+    n = rng.randint(6, 14)
+    estates = []
+    for k in range(n):
+        did = f"immobilie/{stadtid}{haus}{kaufen}{k:04d}"
+        # image count drives the bildN / double-yield quirk:
+        # <2 images → item yielded twice; ≥2 → page aborts at this estate
+        n_img = rng.choices([0, 1, 2, 3], weights=[40, 40, 10, 10])[0]
+        est = {
+            "id": did,
+            "freitexte": {"objekttitel": f"{rng.choice(_TITLE_ADJ)} Objekt in {city['stadt']}"},
+            "preise": {"kaufpreis": rng.choice(["450.000", "299000", "1.250.000", "385000"])},
+            "flaechen": {"wohnflaeche": rng.choice(["75.5", "60", "102"])},
+            "ausstattung": {},
+            "sip": {
+                "images": [
+                    {"formats": {"original": f"https://img.sparkasse.de/{rng.randrange(10**9)}.jpg",
+                                 "m": f"https://img.sparkasse.de/m{rng.randrange(10**9)}.jpg"}}
+                    for _ in range(n_img)
+                ],
+            },
+        }
+        if rng.random() < 0.8:
+            est["flaechen"]["anzahl_zimmer"] = rng.choice(["3.0", "2.5", "4.0"])
+        if rng.random() < 0.6:
+            est["preise"]["aussen_courtage"] = rng.choice(["prov.frei", "3,57 %"])
+        if rng.random() < 0.3:
+            est["anzahl_terrassen"] = 1
+        if rng.random() < 0.3:
+            est["ausstattung"]["unterkellert"] = True
+        if haus and rng.random() < 0.7:
+            est["flaechen"]["grundstuecksflaeche"] = rng.choice(["250", "410"])
+        if rng.random() < 0.85:
+            est["geo"] = {"ort": city["stadt"]}
+            if rng.random() < 0.8:
+                est["geo"]["strasse"] = f"{rng.choice(_STREETS)} {rng.randint(1, 180)}"
+        if rng.random() < 0.4:
+            est["sip"]["display_data"] = {
+                "specials": ", ".join(rng.sample(
+                    ["Garten", "Balkon", "Personenaufzug", "Stellplatz",
+                     "Garage", "Terrasse"], rng.randint(1, 3)))
+            }
+        if rng.random() < 0.3:
+            est["EBK"] = True
+            est["kueche"] = {"attributes": {"EBK": rng.choice(["true", "false"])}}
+        if rng.random() < 0.3:
+            est["gartennutzung"] = True
+            est["ausstattung"]["gartennutzung"] = rng.choice(["true", "false"])
+        estates.append(est)
+    sink.add(seed_url, json.dumps({"_embedded": {"estate": estates}},
+                                  ensure_ascii=False))
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "sparkasse",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# wg-suche page grammar (JSON list + per-offer API, wgsuche.py:57-127;
+# WG seeds use haus=2 — emitted once per city on the (0,0) combo)
+# ---------------------------------------------------------------------------
+
+def _gen_wgsuche_city(rng, sink, city, haus, kaufen, seed_id):
+    if (haus, kaufen) != (0, 0):
+        return None  # one WG seed per city
+    stadtid = city["id"]
+    seed_url = f"https://api.wg-suche.de/v1_0/offers?city={stadtid}&limit=100"
+    n = rng.randint(8, 16)
+    offers = []
+    for k in range(n):
+        oid = f"{stadtid}2{k:04d}"
+        offers.append({"id": oid})
+        offer = {
+            "id": oid,
+            "title": f"WG-Zimmer in {city['stadt']} {rng.choice(city['stadtviertel'])}",
+            "rent": rng.choice([300, 420, 550, 680]),
+            "images": [
+                {"urls": {"ORIGINAL": {"url": f"https://img.wg-suche.de/{rng.randrange(10**9)}.jpg"}}}
+                for _ in range(rng.randint(0, 3))
+            ],
+        }
+        if rng.random() < 0.8:
+            offer["flatSize"] = rng.choice([80, 95, 120])
+        if rng.random() < 0.9:
+            offer["size"] = rng.choice([12, 16, 20, 38])
+        if rng.random() < 0.7:
+            offer["borough"] = rng.choice(city["stadtviertel"])
+        if rng.random() < 0.8:
+            offer["street"] = rng.choice(_STREETS)
+            if rng.random() < 0.8:
+                offer["streetNumber"] = str(rng.randint(1, 180))
+        if rng.random() < 0.6:
+            offer["from"] = rng.choice(["2021-06-01", "sofort", "01.07.21"])
+        if rng.random() < 0.5:
+            offer["membersWomanCount"] = rng.randint(0, 3)
+        if rng.random() < 0.5:
+            offer["membersManCount"] = rng.randint(0, 3)
+        if rng.random() < 0.4:
+            offer["wantedAmountFemale"] = 1
+        if rng.random() < 0.4:
+            offer["wantedAmountMale"] = 1
+        if rng.random() < 0.2:
+            offer["wantedAmountEven"] = 1
+        for flag in ("garden", "balcony", "elevator", "barrierFree"):
+            if rng.random() < 0.4:
+                offer[flag] = rng.random() < 0.6
+        if rng.random() < 0.85:  # missing → item dropped (images quirk)
+            offer["furnished"] = rng.random() < 0.5
+        sink.add(
+            f"https://api.wg-suche.de/v1_0/offer/{oid}",
+            json.dumps(offer, ensure_ascii=False),
+        )
+    sink.add(seed_url, json.dumps({"result": offers}, ensure_ascii=False))
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": 2, "kaufen": 0, "portal": "wgsuche",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -1129,6 +1334,9 @@ PORTAL_GENERATORS = {
     "ohnemakler": _gen_ohnemakler_city,
     "sueddeutsche": _gen_sueddeutsche_city,
     "wohnungsboerse": _gen_wohnungsboerse_city,
+    "meinestadt": _gen_meinestadt_city,
+    "sparkasse": _gen_sparkasse_city,
+    "wgsuche": _gen_wgsuche_city,
 }
 
 
@@ -1170,8 +1378,10 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
             for portal in portals:
                 rng = random.Random(f"{SEED}|{city['id']}|{haus}|{kaufen}|{portal}")
                 gen = PORTAL_GENERATORS[portal]
-                seeds.append(gen(rng, sink, city, haus, kaufen, f"seed{sid:05d}"))
-                sid += 1
+                seed = gen(rng, sink, city, haus, kaufen, f"seed{sid:05d}")
+                if seed is not None:
+                    seeds.append(seed)
+                    sid += 1
 
     # a few non-German distractor pages (lang filter exercise)
     rng = random.Random(SEED + 99)

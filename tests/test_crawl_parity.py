@@ -56,7 +56,7 @@ def test_items_byte_identical(engine_run, sim_small):
         sim_items[seed_id].append((url, canonical_item_text(item)))
     rows = (
         eng.items_df()
-        .orderBy("seed_id", "fifo_seq")
+        .orderBy("seed_id", "fifo_seq", "item_idx")
         .select("seed_id", "url", "item_json")
         .collect()
     )
