@@ -393,10 +393,15 @@ class ItemLoader:
         self.add_value(field, got)
 
     def load_item(self):
+        # Scrapy order: compute output first; None outputs are skipped
+        # entirely (so an EMPTY undeclared field like immowelt's bildN with
+        # no matches does NOT raise — immowelt.py:218-236), while a
+        # non-None undeclared field raises KeyError (sparkasse.py:145-169).
         for field, vals in self._values.items():
+            out = take_first(vals)
+            if out is None:
+                continue
             if field not in self.fields:
                 raise KeyError(f"item does not support field: {field}")
-            out = take_first(vals)
-            if out is not None:
-                self.item[field] = out
+            self.item[field] = out
         return self.item

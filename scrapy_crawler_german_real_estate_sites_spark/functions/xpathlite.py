@@ -407,6 +407,21 @@ def _eval_steps(context, steps):
                 ]
                 nxt.extend(_apply_preds(cands, st.preds))
             cur = nxt
+        elif st.axis == "desc" and any(
+            p == "last" or isinstance(p, int) for p in st.preds
+        ):
+            # lxml: //div[2] = descendant-or-self::node()/child::div[2] —
+            # positional predicates count within each PARENT's children
+            for n in cur:
+                if not isinstance(n, Node):
+                    continue
+                for parent in [n, *n.iter_desc()]:
+                    cands = [
+                        c for c in parent.children if _node_test(c, st.test)
+                    ]
+                    if cands:
+                        nxt.extend(_apply_preds(cands, st.preds))
+            cur = nxt
         else:
             for n in cur:
                 cands = [

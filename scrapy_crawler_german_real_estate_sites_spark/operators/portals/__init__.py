@@ -17,6 +17,7 @@ _MODULES = {
     "meinestadt": ".meinestadt",
     "sparkasse": ".sparkasse",
     "wgsuche": ".wgsuche",
+    "immowelt": ".immowelt",
 }
 
 

@@ -1321,6 +1321,137 @@ def _gen_wgsuche_city(rng, sink, city, haus, kaufen, seed_id):
 
 
 # ---------------------------------------------------------------------------
+# immowelt page grammar (immowelt.py:141-310; Selenium walk modelled by the
+# listing pages carrying absolute expose hrefs)
+# ---------------------------------------------------------------------------
+
+def _immowelt_detail_body(rng, city, canon_url, haus, kaufen, gone=False):
+    adj = rng.choice(_TITLE_ADJ)
+    title = f"{adj} {'Haus' if haus else 'Wohnung'} in {city['stadt']}"
+    hardfacts = [
+        f'<div class="hardfact ">{rng.choice(_RENT_PRICES if not kaufen else _BUY_PRICES)}</div>'
+    ]
+    if rng.random() < 0.9:
+        hardfacts.append(f'<div class="hardfact ">{rng.choice(["75,5 m²", "60 m²", "102 m²"])}</div>')
+    if rng.random() < 0.6:
+        hardfacts.append(f'<div class="hardfact ">{rng.choice(["250 m²", "410 m²"])}</div>')
+    if rng.random() < 0.85:
+        hardfacts.append(f'<div class="hardfact rooms">{rng.choice(["2", "3", "4"])} Zimmer</div>')
+    parts = [
+        '<div class="quickfacts iw_left">'
+        f"<h1>{title}</h1>"
+        f'<div class="hardfacts">{"".join(hardfacts)}</div>'
+        "</div>"
+    ]
+    # carousel images → bildN quirk drops the item (immowelt.py:218-236);
+    # ~45% image-less exposés actually yield items
+    n_img = rng.choices([0, 1, 2, 4], weights=[45, 20, 20, 15])[0]
+    for _ in range(n_img):
+        if rng.random() < 0.3:
+            parts.append(
+                '<div class="carousel-item"><img src="/App_Themes/ph.png" '
+                f'data-src="https://pic.immowelt.de/{rng.randrange(10**9)}.jpg"/></div>'
+            )
+        else:
+            parts.append(
+                f'<div class="carousel-item"><img src="https://pic.immowelt.de/{rng.randrange(10**9)}.jpg"/></div>'
+            )
+    # kaltmiete block first (TakeFirst on datacontent strong)
+    parts.append(f'<div class="datacontent iw_right"><strong>{rng.choice(_RENT_PRICES)}</strong></div>')
+    if not kaufen:
+        r = rng.random()
+        if r < 0.6:
+            parts.append(
+                f"<div class='warm'><div>Warmmiete </div><div>{rng.choice(_RENT_PRICES)}</div></div>"
+            )
+        elif r < 0.85:
+            parts.append(
+                "<div class='warmalt'><p><strong>Warmmiete </strong></p>"
+                f"<div class='datacontent iw_right'><strong>{rng.choice(_RENT_PRICES)}</strong></div></div>"
+            )
+        if rng.random() < 0.6:
+            parts.append(
+                f"<div class='fact'><div>Nebenkosten</div><div>{rng.choice(_NEBENK)}</div></div>"
+            )
+    else:
+        if rng.random() < 0.4:
+            parts.append("<strong>provisionsfrei</strong>")
+    # sections: //div[2]/div[@class='section_content iw_right']/p
+    typ = "Haus" if haus else "Wohnung"
+    parts.append(
+        "<div class='sections'><div>intro</div>"
+        f"<div><div class='section_content iw_right'><p>{typ} "
+        f"<strong>{rng.choice(_DATES)}</strong></p><p>ab {rng.choice(_DATES)}</p></div></div></div>"
+    )
+    feats = rng.sample(
+        ["Terrasse vorhanden", "Kelleranteil", "Garten", "Einbauküche",
+         "Personenaufzug", "Balkon", "barrierefrei", "Haustiere erlaubt",
+         "Stellplatz"],
+        rng.randint(0, 4),
+    )
+    for f in feats:
+        parts.append(f"<span>{f}</span>")
+    if rng.random() < 0.8:
+        parts.append(
+            f'<div class="location"><span>{rng.choice(_STREETS)} {rng.randint(1, 180)}</span>'
+            f'<span>{rng.choice(city["stadtviertel"])}</span></div>'
+        )
+    parts.append(f'<input class="js-endlink-input" value="{canon_url}"/>')
+    if gone:
+        parts.append("<p>Angebot wurde deaktiviert</p>")
+    return "<html><body>\n" + "\n".join(parts) + "\n</body></html>"
+
+
+def _gen_immowelt_city(rng, sink, city, haus, kaufen, seed_id):
+    stadtid = city["id"]
+    obj = "haeuser" if haus == 1 else "wohnungen"
+    sucht = "kaufen" if kaufen else "mieten"
+    seed_url = (
+        f"https://www.immowelt.de/liste/{city['stadt'].lower()}{stadtid}"
+        f"/{obj}/{sucht}?sort=relevanz"
+    )
+    # ≤5 content pages (the 6th-with-next dead-end is exercised rarely)
+    last_page = rng.choices([2, 3, 4, 5, 7], weights=[30, 30, 20, 15, 5])[0]
+    detail_ids = []
+
+    def new_detail():
+        did = f"{stadtid}{haus}{kaufen}{len(detail_ids):04d}"
+        detail_ids.append(did)
+        return did
+
+    for page in range(1, last_page + 1):
+        n = rng.randint(3, 5)
+        anchors = []
+        for _ in range(n):
+            did = new_detail()
+            durl = f"https://www.immowelt.de/expose/{did}"
+            href = durl + ("?bc=1" if rng.random() < 0.15 else "")
+            anchors.append(f'<a href="{href}">exposé</a>')
+            sink.add(
+                durl,
+                _immowelt_detail_body(rng, city, durl, haus, kaufen,
+                                      gone=rng.random() < 0.02),
+            )
+        nxt = (
+            f'<a id="nlbPlus" href="{seed_url}&cp={page + 1}">mehr</a>'
+            if page < last_page
+            else ""
+        )
+        body = f"""<html><body>
+<h1>Immowelt {city['stadt']} Seite {page}</h1>
+{"".join(anchors)}
+{nxt}
+</body></html>"""
+        sink.add(seed_url if page == 1 else seed_url + f"&cp={page}", body)
+
+    return {
+        "seed_id": seed_id, "stadtid": stadtid, "stadtname": city["stadt"],
+        "haus": haus, "kaufen": kaufen, "portal": "immowelt",
+        "url": seed_url, "chatid": None,
+    }
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -1337,6 +1468,7 @@ PORTAL_GENERATORS = {
     "meinestadt": _gen_meinestadt_city,
     "sparkasse": _gen_sparkasse_city,
     "wgsuche": _gen_wgsuche_city,
+    "immowelt": _gen_immowelt_city,
 }
 
 
