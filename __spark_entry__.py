@@ -369,12 +369,7 @@ GROUP BY p.netloc
 def q_crawl_listings(spark, sf_dir):
     """End-to-end crawl (tiny tier for bounded runtime) — non-SQL-expressible
     (iterative frontier with stateful stops); driver records rows-only."""
-    from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import CrawlEngine
-    from scrapy_crawler_german_real_estate_sites_spark.sources.synth import generate
-
-    fix = generate("tiny", os.path.join(FIX_ROOT, "tiny"))
-    eng = CrawlEngine(spark, fix, hour=7)
-    eng.run(max_waves=60)
+    eng = _tiny_crawl(spark)
     return eng.items_df().select("seed_id", "url", "item_json", "doc_json")
 
 
@@ -666,6 +661,60 @@ FROM t
 """
 
 
+
+def q_sitemap_cities(spark, sf_dir):
+    # S10 (seoSitemap.py:6-76): sitemap entries for cities with >=10
+    # districts; loc mirrors the reference's city-page URL template
+    st = _fx(spark, sf_dir, "stadte")
+    return (
+        st.where(F.size("stadtviertel") >= 10)
+        .select(
+            "id",
+            "stadt",
+            F.size("stadtviertel").alias("n_viertel"),
+            F.concat(
+                F.lit("https://www.immorobo.de/stadt/"), F.lower("stadt")
+            ).alias("loc"),
+        )
+    )
+
+
+SQL_SITEMAP = f"""
+SELECT id, stadt, len(stadtviertel) AS n_viertel,
+       concat('https://www.immorobo.de/stadt/', lower(stadt)) AS loc
+FROM read_parquet('{_fp("stadte")}')
+WHERE len(stadtviertel) >= 10
+"""
+
+
+_TINY_CRAWL = {}
+
+
+def _tiny_crawl(spark):
+    """One cached tiny-tier crawl shared by the crawl-derived queries."""
+    key = id(spark)
+    if key not in _TINY_CRAWL:
+        from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import CrawlEngine
+        from scrapy_crawler_german_real_estate_sites_spark.sources.synth import generate
+
+        fix = generate("tiny", os.path.join(FIX_ROOT, "tiny"))
+        eng = CrawlEngine(spark, fix, hour=7)
+        eng.run(max_waves=60)
+        _TINY_CRAWL[key] = eng
+    return _TINY_CRAWL[key]
+
+
+def q_alerts(spark, sf_dir):
+    """S9 (pipelines.py:388-390, telegram.py:3-22): items with images and
+    gesamtkosten < 1000 -> alert side-output (rows-only; crawl-derived)."""
+    eng = _tiny_crawl(spark)
+    return (
+        eng.items_df()
+        .where(F.col("alert").isNotNull())
+        .select("seed_id", "url", "alert")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -695,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "sitemap_cities": q_sitemap_cities,
+        "alerts": q_alerts,
     }
 
 
@@ -732,4 +783,5 @@ def oracle_sql() -> dict[str, str]:
         # embedding_ann_ivf: iterative Lloyd refinement — rows-only
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
+        "sitemap_cities": SQL_SITEMAP,
     }

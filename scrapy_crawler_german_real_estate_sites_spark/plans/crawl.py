@@ -273,6 +273,7 @@ class CrawlEngine:
         self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self.bloom = seen_ops.BloomFilter()
         self.logs = {k: [] for k in ("fetch", "dup_skips")}
+        self._trash = []
         self.out_batches = {"items": [], "docs": [], "alerts": []}
         self.metrics = []
         self.iteration = 0
@@ -288,9 +289,28 @@ class CrawlEngine:
         ]
         return self.spark.createDataFrame(rows, STATE_SCHEMA)
 
+    def _unpersist_later(self, df):
+        """Queue a superseded localCheckpoint snapshot for release.  The
+        python reference is dropped at the end of the NEXT wave (nothing in
+        flight can still read it), letting the ContextCleaner reclaim its
+        block-manager entries — without this, every wave's batch/passed/
+        frontier snapshots accumulate for the whole run."""
+        self._trash.append(df)
+
+    def _flush_trash(self):
+        self._trash.clear()
+
     def run_wave(self) -> dict:
         """One frontier wave. Returns metrics for the wave."""
         t0 = time.time()
+        stage_t = {}
+        _last = [t0]
+
+        def _mark(name):
+            now = time.time()
+            stage_t[name] = round(now - _last[0], 3)
+            _last[0] = now
+
         it = self.iteration
         state_df = self._state_df()
         batch = politeness.select_batch(
@@ -301,34 +321,59 @@ class CrawlEngine:
         )
         batch = batch.localCheckpoint(eager=True)
         n_batch = batch.count()
+        _mark('select')
         if n_batch == 0:
             return {"iteration": it, "fetched": 0, "wall_ms": 0}
 
         fetched = self.pages.join(F.broadcast(batch), "url", "inner")
-        # hash-partition by seed BEFORE the parse UDF: (a) the page scan is
-        # one input split locally, so without this the Arrow parse would run
-        # on a single core; (b) the pipeline pass groups by seed_id, so this
-        # single exchange serves both (no second shuffle of the html bytes)
-        par = self.spark.sparkContext.defaultParallelism
-        parse_input = (
-            fetched.join(F.broadcast(self.seed_ctx), "seed_id")
-            .repartition(par, "seed_id")
-        )
+        # parse directly on the scan splits: the pages fixture is written
+        # with small row groups (synth.py) so the scan fans out across all
+        # cores, and the html bytes are never shuffled — only the parsed
+        # output (fields + links, ~10x smaller) moves in the groupBy(seed)
+        # exchange feeding the pipeline pass.  At cluster scale this is the
+        # Iceberg-bucketed pages scan with the wave batch broadcast to it.
+        parse_input = fetched.join(F.broadcast(self.seed_ctx), "seed_id")
         parsed = parse_pages(parse_input, self.run_date)
         with_state = parsed.join(F.broadcast(state_df), "seed_id")
         passed = pipeline_pass(
             with_state, self._stadte_by_id, self.run_ts
         ).localCheckpoint(eager=True)
+        _mark('parse')
 
-        # --- state update (small: one row per active seed)
-        for r in passed.where(F.col("kind") == "__state__").collect():
-            st = json.loads(r.doc_json)
-            s = self.state[r.seed_id]
-            s.update(st)
+        # --- state update + per-partition lineage stats: ONE driver
+        # round-trip computes both aggregates over the checkpointed pass
+        # output (every extra per-wave job is pure serial time at scale)
+        state_rows = passed.where(F.col("kind") == "__state__").select(
+            F.lit("state").alias("rec"), "seed_id", "doc_json",
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(None).cast("long").alias("parsed"),
+            F.lit(None).cast("long").alias("items"),
+        )
+        stat_rows = (
+            passed.where(F.col("kind") != "__state__")
+            .groupBy("partition_id")
+            .agg(
+                F.sum((F.col("kind") != "__item__").cast("int")).alias("parsed"),
+                F.sum((F.col("kind") == "__item__").cast("int")).alias("items"),
+            )
+            .select(
+                F.lit("pstat").alias("rec"),
+                F.lit(None).cast("string").alias("seed_id"),
+                F.lit(None).cast("string").alias("doc_json"),
+                "partition_id", "parsed", "items",
+            )
+        )
+        part_stats = []
+        for r in state_rows.unionByName(stat_rows).collect():
+            if r.rec == "state":
+                self.state[r.seed_id].update(json.loads(r.doc_json))
+            else:
+                part_stats.append(r)
         pages_out = passed.where(
             ~F.col("kind").isin("__state__", "__item__")
         )
         item_rows = passed.where(F.col("kind") == "__item__")
+        _mark('state')
 
         # --- seen update FIRST: this wave's inserts must be visible to the
         # dedup join below (the fifo-position rule resolves same-wave order)
@@ -337,17 +382,23 @@ class CrawlEngine:
             .groupBy(F.col("seen_url").alias("url"), "seed_id")
             .agg(F.min("fifo_seq").alias("fifo_seq"))
         )
-        new_seen_rows = inserts.collect()
-        if new_seen_rows:
-            self.bloom.add_many([r.url for r in new_seen_rows])
+        # union the increment distributed-side; the driver only ever sees
+        # the new URL strings (for the bloom sketch) — the seen table itself
+        # never round-trips through the driver (at 10^10 URLs it couldn't)
+        new_urls = [r.url for r in inserts.select("url").distinct().collect()]
+        n_inserted = 0
+        if new_urls:
+            self.bloom.add_many(new_urls)
+            n_inserted = len(new_urls)
+            old_seen = self.seen
             self.seen = (
-                self.seen.unionByName(
-                    self.spark.createDataFrame(new_seen_rows, SEEN_SCHEMA)
-                )
+                self.seen.unionByName(inserts)
                 .groupBy("url", "seed_id")
                 .agg(F.min("fifo_seq").alias("fifo_seq"))
                 .localCheckpoint(eager=True)
             )
+            self._unpersist_later(old_seen)
+        _mark('seen')
 
         # --- new links from effective rows
         links = explode_links(
@@ -356,7 +407,10 @@ class CrawlEngine:
             )
         ).withColumn("netloc", _netloc(F.col("url")))
         allowed, blocked = politeness.robots_filter(links, self.robots)
-        n_blocked = blocked.count()
+        # the blocked count is diagnostics; in throughput mode don't spend a
+        # driver round-trip on it
+        n_blocked = blocked.count() if self.track_order else -1
+        _mark('links_robots')
 
         cand = allowed.withColumn(
             "norm_url", F.substring_index(F.col("url"), "?", 1)
@@ -412,6 +466,7 @@ class CrawlEngine:
                 F.lit(it + 1).alias("depth"),
             )
         )
+        _mark('dedup')
         new_pending = new_pending.localCheckpoint(eager=True)
         counts = {
             r.seed_id: r["count"]
@@ -419,6 +474,7 @@ class CrawlEngine:
         }
         for sid, c in counts.items():
             self.state[sid]["next_fifo"] += c
+        _mark('fifo')
 
         # --- frontier update: remove selected rows, drop stopped seeds' rows
         stopped_ids = [(s,) for s, st in self.state.items() if st["stopped"]]
@@ -434,7 +490,13 @@ class CrawlEngine:
                 "seed_id",
                 "left_anti",
             )
+        old_pending = self.pending
         self.pending = nxt.localCheckpoint(eager=True)
+        self._unpersist_later(old_pending)
+        self._unpersist_later(batch)
+        self._unpersist_later(passed)
+        self._unpersist_later(new_pending)
+        _mark('frontier')
 
         # --- logs + metrics
         self.out_batches["items"].append(
@@ -452,15 +514,7 @@ class CrawlEngine:
             self.logs["fetch"].extend(
                 (r.seed_id, r.fifo_seq, r.url, r.kind) for r in fetch_rows
             )
-        part_stats = (
-            passed.where(F.col("kind") != "__state__")
-            .groupBy("partition_id")
-            .agg(
-                F.sum((F.col("kind") != "__item__").cast("int")).alias("parsed"),
-                F.sum((F.col("kind") == "__item__").cast("int")).alias("items"),
-            )
-            .collect()
-        )
+        _mark('outputs')
         wall_ms = int((time.time() - t0) * 1000)
         m = {
             "iteration": it,
@@ -470,15 +524,17 @@ class CrawlEngine:
             "new_links": sum(counts.values()),
             "dups_filtered": len(dup_rows),
             "robots_blocked": n_blocked,
-            "inserted": len(new_seen_rows),
+            "inserted": n_inserted,
             "partitions": [
                 {"partition_id": p.partition_id, "parsed": p.parsed,
                  "items": int(p["items"] or 0)}
                 for p in part_stats
             ],
             "wall_ms": wall_ms,
+            "stages": stage_t,
         }
         self.metrics.append(m)
+        self._flush_trash()
         self.iteration += 1
         if self.checkpoint_every and self.iteration % self.checkpoint_every == 0:
             self.checkpoint()

@@ -1492,7 +1492,7 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
         "seed": SEED,
         "cities": cfg["cities"],
         "portals": sorted(portals),
-        "v": 1,
+        "v": 2,
     }
     mpath = os.path.join(out_dir, "_manifest.json")
     if not force and os.path.exists(mpath):
@@ -1524,7 +1524,14 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
             lang="en",
         )
 
-    pq.write_table(sink.table(), os.path.join(out_dir, "pages.parquet"))
+    # small row groups: parquet scan splits materialize rows only at
+    # row-group boundaries, so a single default-row-group file would pin
+    # every wave's fetch-join map side to ONE core no matter what
+    # maxPartitionBytes/minPartitionNum say.  2048-row groups give the
+    # local[32] scan >=32 non-empty splits from sf0.01 up (the stand-in for
+    # the production pages table being bucketed/split by Iceberg).
+    pq.write_table(sink.table(), os.path.join(out_dir, "pages.parquet"),
+                   row_group_size=2048)
 
     pq.write_table(
         pa.table(

@@ -32,21 +32,33 @@ def _ensure_pythonpath():
 
 def ensure_udf_imports(spark: SparkSession):
     """For sessions we didn't create (driver harness): ship the package to
-    workers via addPyFile if the repo root isn't importable there."""
+    workers via addPyFile if the repo root isn't importable there.  No-op
+    when the package was itself imported from a zip (spark-submit
+    --py-files already distributed it — re-adding a same-named zip with
+    different bytes makes executor dependency fetch fail)."""
+    import hashlib
     import shutil
     import tempfile
 
-    zip_base = os.path.join(tempfile.gettempdir(), "spark_graft_pkg")
-    pkg_dir = os.path.join(REPO_ROOT, "scrapy_crawler_german_real_estate_sites_spark")
-    zip_path = zip_base + ".zip"
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if ".zip" in pkg_root:
+        return
+    tmp = tempfile.mkdtemp(prefix="spark_graft_pkg_")
+    base = shutil.make_archive(
+        os.path.join(tmp, "pkg"), "zip", REPO_ROOT,
+        "scrapy_crawler_german_real_estate_sites_spark",
+    )
+    with open(base, "rb") as f:
+        h = hashlib.md5(f.read()).hexdigest()[:12]
+    # content-addressed name: same code → same file (addPyFile dedups);
+    # changed code → new name (no stale-content clash on executors)
+    zip_path = os.path.join(tempfile.gettempdir(), f"spark_graft_pkg_{h}.zip")
     if not os.path.exists(zip_path):
-        shutil.make_archive(zip_base, "zip", REPO_ROOT,
-                            "scrapy_crawler_german_real_estate_sites_spark")
+        shutil.move(base, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # already added in this context
-    _ = pkg_dir
 
 
 def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
@@ -58,8 +70,17 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE partition coalescing sizes partitions by shuffle BYTES; our
+        # post-shuffle stages are python-heavy (applyInPandas pipeline pass,
+        # parse dispatch) where a few MB of compressed json = minutes of CPU,
+        # so byte-based coalescing collapses them to 1 partition and runs
+        # them single-core (measured 10x slowdown).  Shuffle partitions are
+        # set to the core count deliberately; keep AQE for skew splitting.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # localCheckpoint snapshots are superseded every wave; reclaim their
+        # blocks promptly instead of at the default 30-min periodic GC
+        .config("spark.cleaner.periodicGC.interval", "45s")
         # single-file parquet inputs must still fan out to all cores for
         # expression-heavy scans (minhash/simhash/parse)
         .config("spark.sql.files.minPartitionNum", str(cpus))
