@@ -33,35 +33,40 @@ LINK_SCHEMA = (
 )
 
 
-def _make_ctx(row, run_date):
-    from .portals.base import SeedCtx
-
-    return SeedCtx(
-        seed_id=row.seed_id,
-        portal=row.portal,
-        stadtid=int(row.stadtid),
-        stadtname=row.stadtname,
-        haus=int(row.haus),
-        kaufen=int(row.kaufen),
-        url=row.seed_url,
-        chatid=row.chatid,
-        hour=int(row.hour),
-        run_date=run_date,
-        stadtviertel=tuple(row.stadtviertel) if row.stadtviertel is not None else (),
-    )
-
-
-def parse_pages(batch_df: DataFrame, run_date: datetime.date) -> DataFrame:
+def parse_pages(batch_df: DataFrame, run_date: datetime.date,
+                ctx_bc=None) -> DataFrame:
     """batch_df columns: seed_id, fifo_seq, url, kind, netloc, meta (json),
-    html (binary), portal, stadtid, stadtname, haus, kaufen, chatid, hour,
-    seed_url, stadtviertel (array<string>).
+    html (binary).
+
+    ``ctx_bc`` is a SparkContext.broadcast of
+    ``{seed_id: (portal, stadtid, stadtname, haus, kaufen, chatid, hour,
+    seed_url, stadtviertel)}`` — shipped to workers ONCE per run instead of
+    re-broadcasting a seed-ctx join every wave (per-wave broadcast builds
+    are pure serial driver time; at 10^5 seeds the dict is a few MB).
 
     Returns PARSED_SCHEMA rows (one per input page)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         from .portals import get_portal
+        from .portals.base import SeedCtx
         from ..plans.simulator import canonical_item_text
+
+        ctx_map = ctx_bc.value
+        ctx_cache = {}
+
+        def ctx_for(seed_id):
+            c = ctx_cache.get(seed_id)
+            if c is None:
+                t = ctx_map[seed_id]
+                c = SeedCtx(
+                    seed_id=seed_id, portal=t[0], stadtid=t[1],
+                    stadtname=t[2], haus=t[3], kaufen=t[4], chatid=t[5],
+                    hour=t[6], url=t[7], run_date=run_date,
+                    stadtviertel=t[8],
+                )
+                ctx_cache[seed_id] = c
+            return c
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
@@ -69,14 +74,14 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date) -> DataFrame:
                 "seed_id", "fifo_seq", "url", "kind", "netloc", "partition_id",
                 "parse_ok", "items_json", "links_json")}
             for row in pdf.itertuples(index=False):
-                ctx = _make_ctx(row, run_date)
+                ctx = ctx_for(row.seed_id)
                 meta = json.loads(row.meta) if row.meta else {}
                 items = []
                 links = []
                 ok = True
                 try:
                     body = bytes(row.html).decode("utf-8")
-                    pr = get_portal(row.portal).parse(
+                    pr = get_portal(ctx.portal).parse(
                         row.kind, body, row.url, meta, ctx
                     )
                     items = [

@@ -21,8 +21,6 @@ config change.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,21 +28,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 
-def _h2(url: str):
-    d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
-    return (
-        int.from_bytes(d[:8], "little") & 0x7FFFFFFFFFFFFFFF,
-        int.from_bytes(d[8:], "little") | 1,
-    )
+def _hash_pair(urls) -> tuple:
+    """Vectorized double hash: one 64-bit hash per url via
+    ``pd.util.hash_array`` (cython xxhash-style, ~100ns/row), split into
+    (h1, h2) for standard double-hashed k probes.  No per-row Python —
+    the bloom path must stay off the interpreter at millions of links
+    per wave."""
+    arr = np.asarray(urls, dtype=object)
+    h = pd.util.hash_array(arr, hash_key="spark_graft_blm1")
+    # derive the second hash by a splitmix64 finalizer round instead of a
+    # second pass over the strings (string hashing dominates)
+    with np.errstate(over="ignore"):
+        z = (h + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return h, z | np.uint64(1)
+
+
+def _probe_positions(urls, m, k):
+    """(k, n) matrix of bit positions for each url; m must be a power of
+    two so the modulo is a mask.  Layout is (k, n) — k outer rows with a
+    long contiguous inner axis — because the transposed broadcast creates
+    n strided length-k inner loops and runs ~100x slower."""
+    h1, h2 = _hash_pair(urls)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[None, :] + i[:, None] * h2[None, :]) & np.uint64(m - 1)
 
 
 def _set_bits(urls, m, k):
     bits = np.zeros(m // 8, dtype=np.uint8)
-    for u in urls:
-        h1, h2 = _h2(u)
-        for i in range(k):
-            pos = (h1 + i * h2) % m
-            bits[pos >> 3] |= 1 << (pos & 7)
+    if len(urls):
+        pos = _probe_positions(urls, m, k).ravel()
+        np.bitwise_or.at(bits, (pos >> 3).astype(np.int64),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8))
     return bits
 
 
@@ -62,18 +80,14 @@ class BloomFilter:
         self.bits |= np.frombuffer(raw, dtype=np.uint8)
 
     def might_contain_series(self, s: pd.Series) -> pd.Series:
-        bits, m, k = self.bits, self.m, self.k
-        out = np.empty(len(s), dtype=bool)
-        for j, u in enumerate(s):
-            h1, h2 = _h2(u)
-            hit = True
-            for i in range(k):
-                pos = (h1 + i * h2) % m
-                if not (bits[pos >> 3] >> (pos & 7)) & 1:
-                    hit = False
-                    break
-            out[j] = hit
-        return pd.Series(out)
+        if not len(s):
+            return pd.Series([], dtype=bool)
+        pos = _probe_positions(s.to_numpy(dtype=object), self.m, self.k)
+        probes = (
+            self.bits[(pos >> 3).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & 1
+        return pd.Series(probes.all(axis=0))
 
 
 def build_bloom(seen_urls: DataFrame, col="url", m_bits=1 << 24, k=7) -> BloomFilter:

@@ -89,22 +89,27 @@ def _netloc(col):
     return F.regexp_extract(col, _NETLOC, 1)
 
 
-def pipeline_pass(parsed_with_state: DataFrame, stadte_by_id: dict,
+def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                   run_ts: datetime.datetime) -> DataFrame:
     """Per-seed sequential pipeline semantics (applyInPandas, grouped by
     seed): item budget (P7), cumulative-failure spider stop (D3 pipeline
     variant, pipelines.py:363-369), insert/alert effects via the SAME
-    ``apply_item`` the golden simulator uses."""
+    ``apply_item`` the golden simulator uses.
+
+    ``state_snap_bc``: SparkContext.broadcast of
+    ``{seed_id: (scraped, stop_condition, spider_stop, budget)}`` for this
+    wave — replaces a per-wave createDataFrame + broadcast join (serial
+    driver time) with one small torrent broadcast."""
     from .simulator import apply_item  # shared effect core
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("fifo_seq")
-        first = pdf.iloc[0]
-        scraped = int(first.scraped)
-        stop_condition = int(first.stop_condition)
-        spider_stop = bool(first.spider_stop)
-        budget = int(first.budget)
-        seed_id = first.seed_id
+        seed_id = pdf.iloc[0].seed_id
+        st = state_snap_bc.value[seed_id]
+        scraped = int(st[0])
+        stop_condition = int(st[1])
+        spider_stop = bool(st[2])
+        budget = int(st[3])
         stopped = False
         out = []
         def base_rec(row):
@@ -177,10 +182,12 @@ def pipeline_pass(parsed_with_state: DataFrame, stadte_by_id: dict,
         )
         return pd.DataFrame(out)
 
-    return parsed_with_state.groupBy("seed_id").applyInPandas(run, PASS_SCHEMA)
+    return parsed.groupBy("seed_id").applyInPandas(run, PASS_SCHEMA)
 
 
 class CrawlEngine:
+    _SEEN_FOLD = 4  # fold the lazy seen-union every N waves
+
     def __init__(
         self,
         spark: SparkSession,
@@ -212,12 +219,22 @@ class CrawlEngine:
         from ..sources import tables
 
         tables.ensure_udf_imports(spark)
-        self.pages = tables.load_pages(spark, fix_dir).select("url", "html")
+        # pages are re-scanned every wave (the fetch join probes them with
+        # the broadcast wave batch) — cache the (url, html) projection so
+        # waves 2..N read decoded in-memory blocks instead of re-reading +
+        # re-decompressing the parquet.  At cluster scale the analogue is
+        # OS page cache / Iceberg-bucketed scans with url pruning.
+        self.pages = (
+            tables.load_pages(spark, fix_dir).select("url", "html").cache()
+        )
         seeds = tables.load_seeds(spark, fix_dir)
         stadte = tables.load_stadte(spark, fix_dir)
         self.robots = tables.load_robots(spark, fix_dir)
 
-        self.seed_ctx = (
+        # per-seed parse context, shipped to workers ONCE as a python
+        # broadcast (a per-wave seed_ctx broadcast-join costs serial driver
+        # time rebuilding the same broadcast every wave)
+        ctx_rows = (
             seeds.join(
                 stadte.select(
                     F.col("id").alias("stadtid"),
@@ -229,9 +246,19 @@ class CrawlEngine:
             .select(
                 "seed_id", "portal", "stadtid", "stadtname", "haus", "kaufen",
                 "chatid", F.col("url").alias("seed_url"), "stadtviertel",
-                F.lit(hour).alias("hour"),
             )
-            .cache()
+            .collect()
+        )
+        self._ctx_bc = spark.sparkContext.broadcast(
+            {
+                r.seed_id: (
+                    r.portal, int(r.stadtid), r.stadtname, int(r.haus),
+                    int(r.kaufen), r.chatid, int(hour), r.seed_url,
+                    tuple(r.stadtviertel) if r.stadtviertel is not None
+                    else (),
+                )
+                for r in ctx_rows
+            }
         )
         self._seeds_local = seeds.select(
             "seed_id", "portal", "url"
@@ -254,7 +281,6 @@ class CrawlEngine:
                 "spider_stop": False,
                 "stopped": False,
                 "budget": budgets.get(r.portal, DEFAULT_ITEM_BUDGET),
-                "next_fifo": 1,
             }
             for r in self._seeds_local
         }
@@ -270,7 +296,14 @@ class CrawlEngine:
             ],
             PENDING_SCHEMA,
         )
+        # seen is APPEND-ONLY: the dedup joins are EXISTS-style (anti/semi),
+        # so duplicate (url, seed_id) rows cannot change their outcome and
+        # no per-wave re-group of the whole set is needed.  Wave increments
+        # union in lazily (their lineage roots in the wave's checkpointed
+        # pass output) and the union is folded to a localCheckpoint every
+        # _SEEN_FOLD waves to bound plan depth.
         self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
+        self._seen_unfolded = 0
         self.bloom = seen_ops.BloomFilter()
         self.logs = {k: [] for k in ("fetch", "dup_skips")}
         self._trash = []
@@ -313,6 +346,13 @@ class CrawlEngine:
 
         it = self.iteration
         state_df = self._state_df()
+        state_snap_bc = self.spark.sparkContext.broadcast(
+            {
+                sid: (s["scraped"], s["stop_condition"], s["spider_stop"],
+                      s["budget"])
+                for sid, s in self.state.items()
+            }
+        )
         batch = politeness.select_batch(
             self.pending, state_df, self.robots, it,
             iter_seconds=self.iter_seconds, token_scale=self.token_scale,
@@ -323,21 +363,23 @@ class CrawlEngine:
         n_batch = batch.count()
         _mark('select')
         if n_batch == 0:
+            state_snap_bc.unpersist(blocking=False)
             return {"iteration": it, "fetched": 0, "wall_ms": 0}
 
         fetched = self.pages.join(F.broadcast(batch), "url", "inner")
-        # parse directly on the scan splits: the pages fixture is written
-        # with small row groups (synth.py) so the scan fans out across all
-        # cores, and the html bytes are never shuffled — only the parsed
-        # output (fields + links, ~10x smaller) moves in the groupBy(seed)
-        # exchange feeding the pipeline pass.  At cluster scale this is the
-        # Iceberg-bucketed pages scan with the wave batch broadcast to it.
-        parse_input = fetched.join(F.broadcast(self.seed_ctx), "seed_id")
-        parsed = parse_pages(parse_input, self.run_date)
-        with_state = parsed.join(F.broadcast(state_df), "seed_id")
+        # parse directly on the scan splits: the cached pages fan out
+        # across all cores, and the html bytes are never shuffled — only
+        # the parsed output (fields + links, ~10x smaller) moves in the
+        # groupBy(seed) exchange feeding the pipeline pass.  At cluster
+        # scale this is the Iceberg-bucketed pages scan with the wave batch
+        # broadcast to it.  Seed ctx and wave state ride as python
+        # broadcasts, not joins: the only per-wave broadcast BUILD is the
+        # wave batch itself.
+        parsed = parse_pages(fetched, self.run_date, self._ctx_bc)
         passed = pipeline_pass(
-            with_state, self._stadte_by_id, self.run_ts
+            parsed, state_snap_bc, self._stadte_by_id, self.run_ts
         ).localCheckpoint(eager=True)
+        state_snap_bc.unpersist(blocking=False)
         _mark('parse')
 
         # --- state update + per-partition lineage stats: ONE driver
@@ -384,20 +426,23 @@ class CrawlEngine:
         )
         # union the increment distributed-side; the driver only ever sees
         # the new URL strings (for the bloom sketch) — the seen table itself
-        # never round-trips through the driver (at 10^10 URLs it couldn't)
+        # never round-trips through the driver (at 10^10 URLs it couldn't).
+        # The union is LAZY (inserts roots in the checkpointed pass output);
+        # folding to a localCheckpoint every _SEEN_FOLD waves bounds the
+        # number of unfolded parts without paying a materialization job
+        # every wave.
         new_urls = [r.url for r in inserts.select("url").distinct().collect()]
         n_inserted = 0
         if new_urls:
             self.bloom.add_many(new_urls)
             n_inserted = len(new_urls)
-            old_seen = self.seen
-            self.seen = (
-                self.seen.unionByName(inserts)
-                .groupBy("url", "seed_id")
-                .agg(F.min("fifo_seq").alias("fifo_seq"))
-                .localCheckpoint(eager=True)
-            )
-            self._unpersist_later(old_seen)
+            self.seen = self.seen.unionByName(inserts)
+            self._seen_unfolded += 1
+            if self._seen_unfolded >= self._SEEN_FOLD:
+                old_seen = self.seen
+                self.seen = self.seen.localCheckpoint(eager=True)
+                self._unpersist_later(old_seen)
+                self._seen_unfolded = 0
         _mark('seen')
 
         # --- new links from effective rows
@@ -418,6 +463,12 @@ class CrawlEngine:
         seen_df = self.seen
         if self.use_bloom:
             cand = seen_ops.with_bloom_flag(cand, self.bloom)
+        # materialize the candidate set ONCE: the negative/positive split
+        # below reads it twice (and the ordering log a third time) — without
+        # this the explode + robots + bloom subtree re-executes per branch
+        cand = cand.localCheckpoint(eager=True)
+        self._unpersist_later(cand)
+        if self.use_bloom:
             cand_neg = cand.where(~F.col("maybe_seen") | ~F.col("dup_check"))
             cand_pos = cand.where(F.col("maybe_seen") & F.col("dup_check"))
         else:
@@ -446,18 +497,19 @@ class CrawlEngine:
             dup_rows = []
         new_links = cand_neg.select(cand_pos.columns).unionByName(kept_pos)
 
-        # --- fifo assignment (per-seed monotone enqueue order)
+        # --- fifo assignment (per-seed monotone enqueue order).  fifo_seq
+        # only has to be ORDER-preserving, not dense: links discovered in
+        # wave k are enqueued after every wave<k link of the same seed, so
+        # ``(wave+1)<<40 + per-seed rank`` reproduces Scrapy's FIFO order
+        # without a per-wave next-fifo base table (createDataFrame +
+        # broadcast join + per-seed counts round-trip were serial driver
+        # time every wave).
         w = Window.partitionBy("seed_id").orderBy("parent_fifo_seq", "seq")
-        base = self.spark.createDataFrame(
-            [(sid, s["next_fifo"]) for sid, s in self.state.items()],
-            "seed_id string, fifo_base long",
-        )
         new_pending = (
             new_links.withColumn("rn", F.row_number().over(w))
-            .join(F.broadcast(base), "seed_id")
             .select(
                 "seed_id",
-                (F.col("fifo_base") + F.col("rn") - 1).alias("fifo_seq"),
+                (F.lit((it + 1) << 40) + F.col("rn")).alias("fifo_seq"),
                 "url",
                 "kind",
                 "netloc",
@@ -468,12 +520,7 @@ class CrawlEngine:
         )
         _mark('dedup')
         new_pending = new_pending.localCheckpoint(eager=True)
-        counts = {
-            r.seed_id: r["count"]
-            for r in new_pending.groupBy("seed_id").count().collect()
-        }
-        for sid, c in counts.items():
-            self.state[sid]["next_fifo"] += c
+        n_new_links = new_pending.count()
         _mark('fifo')
 
         # --- frontier update: remove selected rows, drop stopped seeds' rows
@@ -494,16 +541,21 @@ class CrawlEngine:
         self.pending = nxt.localCheckpoint(eager=True)
         self._unpersist_later(old_pending)
         self._unpersist_later(batch)
-        self._unpersist_later(passed)
+        # NOTE: ``passed`` blocks must stay alive — the lazy seen-set
+        # increments and item batches root in them, and a localCheckpoint
+        # has no lineage to recompute from.  They are bounded by the run's
+        # total parse output (the crawl's actual result set); a production
+        # run appends them to Iceberg instead of the block manager.
         self._unpersist_later(new_pending)
         _mark('frontier')
 
-        # --- logs + metrics
+        # --- logs + metrics (item batches stay lazy: they root in the
+        # checkpointed pass output, so accumulating them costs no job)
         self.out_batches["items"].append(
             item_rows.select(
                 "seed_id", "fifo_seq", "item_idx", "url", "item_json",
                 "item_kind", "doc_json", "seen_url", "alert", "failure"
-            ).localCheckpoint(eager=True)
+            )
         )
         if self.track_order:
             fetch_rows = (
@@ -521,7 +573,7 @@ class CrawlEngine:
             "selected": n_batch,
             "fetched": sum(p["parsed"] or 0 for p in part_stats),
             "items": sum(p["items"] or 0 for p in part_stats),
-            "new_links": sum(counts.values()),
+            "new_links": n_new_links,
             "dups_filtered": len(dup_rows),
             "robots_blocked": n_blocked,
             "inserted": n_inserted,
@@ -543,8 +595,8 @@ class CrawlEngine:
     def run(self, max_waves: int = 200) -> dict:
         total_fetched = 0
         while self.iteration < max_waves:
-            if self.pending.limit(1).count() == 0:
-                break
+            # no pre-check job on pending: an empty frontier yields an
+            # empty politeness batch and the wave returns selected=0
             m = self.run_wave()
             total_fetched += m.get("fetched", 0)
             if m.get("selected", 0) == 0:

@@ -78,9 +78,10 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         # them single-core (measured 10x slowdown).  Shuffle partitions are
         # set to the core count deliberately; keep AQE for skew splitting.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        # localCheckpoint snapshots are superseded every wave; reclaim their
-        # blocks promptly instead of at the default 30-min periodic GC
-        .config("spark.cleaner.periodicGC.interval", "45s")
+        # don't wait for data-local task slots in local mode — every slot
+        # reads the same block manager, and waiting shows up as straggler
+        # gaps between waves
+        .config("spark.locality.wait", "0s")
         # single-file parquet inputs must still fan out to all cores for
         # expression-heavy scans (minhash/simhash/parse)
         .config("spark.sql.files.minPartitionNum", str(cpus))
