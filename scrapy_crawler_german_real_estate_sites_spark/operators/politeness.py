@@ -64,26 +64,31 @@ def select_batch(
     # spider-stop drain: details before the next listing + that listing
     p = p.where(~F.col("spider_stop") | (F.col("cum_lst_excl") == 0))
 
-    # per-netloc token bucket
-    p = p.join(
-        F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
-        "netloc",
-        "left",
-    )
-    tokens = (
-        F.ceil(
-            F.lit(iter_seconds)
-            / F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+    # per-netloc token bucket.  Fast path: iter_seconds >= 1e5 is the
+    # engine's explicit "politeness-unbounded" sentinel (drain mode /
+    # throughput benchmarking) — the bucket cannot bind there, so skip the
+    # netloc window entirely: it partitions by netloc (13 German portals =
+    # 13 partitions), a skewed low-parallelism shuffle that would serialize
+    # the wave at any cluster size.
+    if iter_seconds < 1e5:
+        p = p.join(
+            F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
+            "netloc",
+            "left",
         )
-        * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
-        * F.lit(token_scale)
-    ).cast("long")
-    wn = Window.partitionBy("netloc").orderBy("fifo_seq", "seed_id")
-    p = p.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= tokens)
+        tokens = (
+            F.ceil(
+                F.lit(iter_seconds)
+                / F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+            )
+            * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
+            * F.lit(token_scale)
+        ).cast("long")
+        wn = Window.partitionBy("netloc").orderBy("fifo_seq", "seed_id")
+        p = p.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= tokens)
+        p = p.drop("rn", "crawl_delay_s", "max_concurrent")
 
-    return p.drop(
-        "cum_det_excl", "cum_lst_excl", "rn", "crawl_delay_s", "max_concurrent"
-    )
+    return p.drop("cum_det_excl", "cum_lst_excl")
 
 
 def robots_filter(links: DataFrame, robots: DataFrame):

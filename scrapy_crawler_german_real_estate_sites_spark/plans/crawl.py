@@ -382,9 +382,19 @@ class CrawlEngine:
         state_snap_bc.unpersist(blocking=False)
         _mark('parse')
 
-        # --- state update + per-partition lineage stats: ONE driver
-        # round-trip computes both aggregates over the checkpointed pass
-        # output (every extra per-wave job is pure serial time at scale)
+        # --- state update + per-partition lineage stats + inserted URLs:
+        # ONE driver round-trip computes all three aggregates over the
+        # checkpointed pass output (every extra per-wave job is pure serial
+        # time at scale)
+        pages_out = passed.where(
+            ~F.col("kind").isin("__state__", "__item__")
+        )
+        item_rows = passed.where(F.col("kind") == "__item__")
+        inserts = (
+            item_rows.where(F.col("seen_url").isNotNull())
+            .groupBy(F.col("seen_url").alias("url"), "seed_id")
+            .agg(F.min("fifo_seq").alias("fifo_seq"))
+        )
         state_rows = passed.where(F.col("kind") == "__state__").select(
             F.lit("state").alias("rec"), "seed_id", "doc_json",
             F.lit(None).cast("int").alias("partition_id"),
@@ -405,33 +415,35 @@ class CrawlEngine:
                 "partition_id", "parsed", "items",
             )
         )
+        # inserted URL strings ride the same collect (rec='ins', url in the
+        # seed_id slot) — the driver needs them for the bloom sketch anyway;
+        # the seen TABLE itself never round-trips through the driver (at
+        # 10^10 URLs it couldn't — the union below is distributed-side).
+        ins_rows = inserts.select(
+            F.lit("ins").alias("rec"), F.col("url").alias("seed_id"),
+            F.lit(None).cast("string").alias("doc_json"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(None).cast("long").alias("parsed"),
+            F.lit(None).cast("long").alias("items"),
+        )
         part_stats = []
-        for r in state_rows.unionByName(stat_rows).collect():
+        new_url_set = set()
+        for r in state_rows.unionByName(stat_rows).unionByName(ins_rows).collect():
             if r.rec == "state":
                 self.state[r.seed_id].update(json.loads(r.doc_json))
-            else:
+            elif r.rec == "pstat":
                 part_stats.append(r)
-        pages_out = passed.where(
-            ~F.col("kind").isin("__state__", "__item__")
-        )
-        item_rows = passed.where(F.col("kind") == "__item__")
+            else:
+                new_url_set.add(r.seed_id)
         _mark('state')
 
         # --- seen update FIRST: this wave's inserts must be visible to the
-        # dedup join below (the fifo-position rule resolves same-wave order)
-        inserts = (
-            item_rows.where(F.col("seen_url").isNotNull())
-            .groupBy(F.col("seen_url").alias("url"), "seed_id")
-            .agg(F.min("fifo_seq").alias("fifo_seq"))
-        )
-        # union the increment distributed-side; the driver only ever sees
-        # the new URL strings (for the bloom sketch) — the seen table itself
-        # never round-trips through the driver (at 10^10 URLs it couldn't).
+        # dedup join below (the fifo-position rule resolves same-wave order).
         # The union is LAZY (inserts roots in the checkpointed pass output);
         # folding to a localCheckpoint every _SEEN_FOLD waves bounds the
         # number of unfolded parts without paying a materialization job
         # every wave.
-        new_urls = [r.url for r in inserts.select("url").distinct().collect()]
+        new_urls = sorted(new_url_set)
         n_inserted = 0
         if new_urls:
             self.bloom.add_many(new_urls)
@@ -525,8 +537,12 @@ class CrawlEngine:
 
         # --- frontier update: remove selected rows, drop stopped seeds' rows
         stopped_ids = [(s,) for s, st in self.state.items() if st["stopped"]]
+        # broadcast the wave batch keys: without the hint this anti-join
+        # shuffles the ENTIRE pending frontier every wave (checkpointed RDDs
+        # carry no stats, so the planner defaults to sort-merge)
         nxt = self.pending.join(
-            batch.select("seed_id", "fifo_seq"), ["seed_id", "fifo_seq"],
+            F.broadcast(batch.select("seed_id", "fifo_seq")),
+            ["seed_id", "fifo_seq"],
             "left_anti",
         ).unionByName(new_pending)
         if stopped_ids:

@@ -1483,6 +1483,25 @@ def make_cities(n):
     return cities
 
 
+def _gen_city_payload(args):
+    """One city's pages + seeds (worker for the parallel generate).
+
+    Returns raw (urls, bodies, langs, seeds-without-ids); the parent merges
+    in city order through one global PageSink, so the output is
+    byte-identical to the original sequential loop (same page order, same
+    warc_ts counter, same cross-city URL dedup, same seed numbering)."""
+    city, portals = args
+    sink = PageSink()
+    seeds = []
+    for haus, kaufen in COMBOS:
+        for portal in portals:
+            rng = random.Random(f"{SEED}|{city['id']}|{haus}|{kaufen}|{portal}")
+            seed = PORTAL_GENERATORS[portal](rng, sink, city, haus, kaufen, None)
+            if seed is not None:
+                seeds.append(seed)
+    return sink.urls, sink.text, sink.lang, seeds
+
+
 def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
     """Generate fixture tables for a tier into ``out_dir``; cached."""
     cfg = TIERS[tier]
@@ -1505,15 +1524,31 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
     sink = PageSink()
     seeds = []
     sid = 0
-    for city in cities:
-        for haus, kaufen in COMBOS:
-            for portal in portals:
-                rng = random.Random(f"{SEED}|{city['id']}|{haus}|{kaufen}|{portal}")
-                gen = PORTAL_GENERATORS[portal]
-                seed = gen(rng, sink, city, haus, kaufen, f"seed{sid:05d}")
-                if seed is not None:
-                    seeds.append(seed)
-                    sid += 1
+
+    def _merge(city_payload):
+        nonlocal sid
+        urls, bodies, langs, cseeds = city_payload
+        for u, b, l in zip(urls, bodies, langs):
+            sink.add(u, b, lang=l)
+        for s in cseeds:
+            s["seed_id"] = f"seed{sid:05d}"
+            seeds.append(s)
+            sid += 1
+
+    jobs = [(city, portals) for city in cities]
+    if len(cities) >= 30 and os.environ.get("SPARK_GRAFT_SYNTH_SERIAL") != "1":
+        # big tiers: fan the per-city grammar work (pure CPU: rng + string
+        # building) across cores; ordered imap + the single parent-side
+        # PageSink keep the output byte-identical to the serial loop
+        import multiprocessing
+
+        workers = min(len(os.sched_getaffinity(0)), 32)
+        with multiprocessing.Pool(workers) as pool:
+            for payload in pool.imap(_gen_city_payload, jobs, chunksize=4):
+                _merge(payload)
+    else:
+        for job in jobs:
+            _merge(_gen_city_payload(job))
 
     # a few non-German distractor pages (lang filter exercise)
     rng = random.Random(SEED + 99)
