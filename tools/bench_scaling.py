@@ -71,6 +71,10 @@ def run_child(cpus: int) -> None:
     eng = CrawlEngine(spark, fix, hour=7, track_order=False)
     summary = eng.run(max_waves=100)
     wall = time.time() - t0
+    stages = {}
+    for m in eng.metrics:
+        for k, v in m.get("stages", {}).items():
+            stages[k] = round(stages.get(k, 0.0) + v, 2)
     print(json.dumps({
         "cpus": cpus,
         "fetched": summary["fetched"],
@@ -78,6 +82,8 @@ def run_child(cpus: int) -> None:
         "waves": summary["waves"],
         "wall_sec": round(wall, 2),
         "urls_per_sec": round(summary["fetched"] / wall, 2) if wall else 0.0,
+        "stage_totals": stages,
+        "wave_walls": [m.get("wall_ms") for m in eng.metrics],
     }))
 
 
@@ -103,6 +109,8 @@ def run_parent() -> None:
         print(f"local[{cpus}]: {best['urls_per_sec']} urls/sec "
               f"({best['fetched']} urls in {best['wall_sec']}s, "
               f"{best['waves']} waves)")
+        print(f"  stages: {best.get('stage_totals')}")
+        print(f"  waves:  {best.get('wave_walls')}")
 
     lo, hi = min(LEVELS), max(LEVELS)
     ratio = hi / lo
