@@ -55,10 +55,14 @@ def main():
     # --- headline: crawl throughput on the matching fixture tier
     tier = sf_name if sf_name in TIERS else "sf0.01"
     fix = E._fixture(SF_DIR)
+    # crawl runs python-heavy post-shuffle stages: 4 tasks/core levels
+    # stragglers (see tools/bench_scaling.py); runtime conf, crawl only
+    spark.conf.set("spark.sql.shuffle.partitions", str(4 * int(CPUS)))
     t0 = time.time()
     eng = CrawlEngine(spark, fix, hour=7, track_order=False)
     summary = eng.run(max_waves=100)
     crawl_sec = time.time() - t0
+    spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
     timings["crawl"] = round(crawl_sec, 3)
     urls_per_sec = summary["fetched"] / crawl_sec if crawl_sec else 0.0
 

@@ -109,6 +109,32 @@ def build_bloom(seen_urls: DataFrame, col="url", m_bits=1 << 24, k=7) -> BloomFi
     return bf
 
 
+def bloom_shard_rows(urls_df: DataFrame, m_bits: int, k: int, out_schema: str,
+                     row_fn):
+    """Per-partition bloom bitmaps over a url-disjoint DataFrame (caller
+    guarantees disjointness, e.g. via ``.distinct()``): yields one row per
+    non-empty partition via ``row_fn(b64_bitmap: str, count: int)``.  The
+    driver ORs the 2 MB shards instead of materializing every URL string —
+    the collect is O(partitions), not O(inserted URLs)."""
+    import base64
+
+    def partial(batches):
+        bits = None
+        cnt = 0
+        for pdf in batches:
+            if len(pdf):
+                if bits is None:
+                    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+                bits |= _set_bits(pdf["url"].tolist(), m_bits, k)
+                cnt += len(pdf)
+        if cnt:
+            yield pd.DataFrame(
+                [row_fn(base64.b64encode(bits.tobytes()).decode("ascii"), cnt)]
+            )
+
+    return urls_df.mapInPandas(partial, out_schema)
+
+
 def with_bloom_flag(df: DataFrame, bf: BloomFilter, url_col="norm_url",
                     flag_col="maybe_seen") -> DataFrame:
     """Adds a boolean bloom-membership column (vectorized pandas UDF over

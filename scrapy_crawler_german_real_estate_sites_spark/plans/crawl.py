@@ -28,6 +28,7 @@ O(seeds), not O(urls).
 
 from __future__ import annotations
 
+import base64
 import datetime
 import json
 import os
@@ -224,8 +225,18 @@ class CrawlEngine:
         # waves 2..N read decoded in-memory blocks instead of re-reading +
         # re-decompressing the parquet.  At cluster scale the analogue is
         # OS page cache / Iceberg-bucketed scans with url pruning.
+        # hash-repartition the cache: parquet file-order partitions are
+        # city-clustered and coarse (~19 splits at sf0.1), so a wave's
+        # matched pages skew across tasks and the last task straggles the
+        # whole parse stage (~25% of stage time measured at local[8]).
+        # uniform url-hash partitions sized ~4 tasks/core fix both; at
+        # cluster scale this is the Iceberg url-bucketed layout.
+        n_page_parts = max(4 * spark.sparkContext.defaultParallelism, 16)
         self.pages = (
-            tables.load_pages(spark, fix_dir).select("url", "html").cache()
+            tables.load_pages(spark, fix_dir)
+            .select("url", "html")
+            .repartition(n_page_parts, "url")
+            .cache()
         )
         seeds = tables.load_seeds(spark, fix_dir)
         stadte = tables.load_stadte(spark, fix_dir)
@@ -415,26 +426,35 @@ class CrawlEngine:
                 "partition_id", "parsed", "items",
             )
         )
-        # inserted URL strings ride the same collect (rec='ins', url in the
-        # seed_id slot) — the driver needs them for the bloom sketch anyway;
-        # the seen TABLE itself never round-trips through the driver (at
-        # 10^10 URLs it couldn't — the union below is distributed-side).
-        ins_rows = inserts.select(
-            F.lit("ins").alias("rec"), F.col("url").alias("seed_id"),
-            F.lit(None).cast("string").alias("doc_json"),
-            F.lit(None).cast("int").alias("partition_id"),
-            F.lit(None).cast("long").alias("parsed"),
-            F.lit(None).cast("long").alias("items"),
+        # inserted URLs reach the driver as per-partition BLOOM SHARDS
+        # (rec='blm': 2 MB base64 bitmap + distinct count), not as URL
+        # strings — collecting ~85k Row objects per wave measured ~55 s of
+        # pure driver time per run at sf0.1, and at 10^10 URLs it couldn't
+        # work at all.  ``distinct()`` shuffles by url, so partitions are
+        # url-disjoint and the shard counts sum exactly.
+        # coalesce (no shuffle, keeps url-disjointness) bounds the shard
+        # count — with 4x-core shuffle partitions the collect would move
+        # partitions x 2 MB of bitmap per wave otherwise
+        ins_shards = seen_ops.bloom_shard_rows(
+            inserts.select("url").distinct().coalesce(8),
+            self.bloom.m, self.bloom.k,
+            "rec string, seed_id string, doc_json string, "
+            "partition_id int, parsed long, items long",
+            lambda b64, cnt: {
+                "rec": "blm", "seed_id": None, "doc_json": b64,
+                "partition_id": None, "parsed": cnt, "items": None,
+            },
         )
         part_stats = []
-        new_url_set = set()
-        for r in state_rows.unionByName(stat_rows).unionByName(ins_rows).collect():
+        n_inserted = 0
+        for r in state_rows.unionByName(stat_rows).unionByName(ins_shards).collect():
             if r.rec == "state":
                 self.state[r.seed_id].update(json.loads(r.doc_json))
             elif r.rec == "pstat":
                 part_stats.append(r)
             else:
-                new_url_set.add(r.seed_id)
+                self.bloom.merge_bytes(base64.b64decode(r.doc_json))
+                n_inserted += int(r.parsed)
         _mark('state')
 
         # --- seen update FIRST: this wave's inserts must be visible to the
@@ -443,11 +463,7 @@ class CrawlEngine:
         # folding to a localCheckpoint every _SEEN_FOLD waves bounds the
         # number of unfolded parts without paying a materialization job
         # every wave.
-        new_urls = sorted(new_url_set)
-        n_inserted = 0
-        if new_urls:
-            self.bloom.add_many(new_urls)
-            n_inserted = len(new_urls)
+        if n_inserted:
             self.seen = self.seen.unionByName(inserts)
             self._seen_unfolded += 1
             if self._seen_unfolded >= self._SEEN_FOLD:

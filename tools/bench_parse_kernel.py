@@ -1,0 +1,103 @@
+"""Workload-matched hardware calibration for the scaling-efficiency report.
+
+The crawl's CPU is dominated by the portal parse kernel (xpathlite +
+extraction — string-heavy Python).  This tool runs THAT EXACT kernel —
+the golden simulator, which executes the same per-portal parse code on the
+same fixture pages — as an embarrassingly-parallel multiprocessing job
+(one chunk of seeds per worker, zero framework) at two worker counts, and
+reports the throughput ratio.
+
+That ratio is the HARDWARE ceiling for this workload on this box: no
+scheduler, no shuffle, no driver — if pure multiprocessing only scales at
+X from N to 4N cores (memory bandwidth / allocator contention on shared
+silicon), no framework can beat X here.  On a real multi-executor cluster
+(separate machines), per-core memory bandwidth is constant from N to 4N
+executors, so this term is absent — which is exactly why the engine's
+efficiency should be read relative to this ceiling.
+
+Usage:
+    python tools/bench_parse_kernel.py            # parent: 2 vs 8 workers
+    SPARK_GRAFT_KERNEL_SEEDS=8000 ...             # subset size (default 8000)
+
+Prints one JSON line: {"levels": {...}, "kernel_eff": ...}.
+"""
+
+import json
+import multiprocessing
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_KERNEL_SEEDS", "8000"))
+LEVELS = [int(x) for x in
+          os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")]
+
+
+def _fixture_dir():
+    import __spark_entry__ as E
+    return E._fixture(SF_DIR)
+
+
+def _load_tables(fix):
+    import pyarrow.parquet as pq
+    seeds = pq.read_table(os.path.join(fix, "seeds.parquet")).to_pylist()
+    stadte = pq.read_table(os.path.join(fix, "stadte.parquet")).to_pylist()
+    return seeds, stadte
+
+
+def _worker(args):
+    """Parse one chunk of seeds; load cost excluded from compute wall."""
+    fix, seed_chunk = args
+    import pyarrow.parquet as pq
+
+    from scrapy_crawler_german_real_estate_sites_spark.plans.simulator import (
+        simulate,
+    )
+
+    pages = pq.read_table(os.path.join(fix, "pages.parquet"),
+                          columns=["url", "text"])
+    pages_map = dict(
+        zip(pages.column("url").to_pylist(), pages.column("text").to_pylist())
+    )
+    seeds, stadte = _load_tables(fix)
+    by_id = {s["seed_id"]: s for s in seeds}
+    chunk = [by_id[sid] for sid in seed_chunk]
+    t0 = time.time()
+    res = simulate(pages_map, chunk, stadte, hour=7)
+    dt = time.time() - t0
+    return len(res.fetch_order), dt
+
+
+def run_level(fix, seed_ids, workers):
+    chunks = [seed_ids[i::workers] for i in range(workers)]
+    with multiprocessing.Pool(workers) as pool:
+        out = pool.map(_worker, [(fix, c) for c in chunks])
+    fetched = sum(f for f, _ in out)
+    wall = max(d for _, d in out)  # compute-only window, load excluded
+    return {"workers": workers, "fetched": fetched,
+            "compute_wall": round(wall, 2),
+            "urls_per_sec": round(fetched / wall, 2)}
+
+
+def main():
+    fix = _fixture_dir()
+    seeds, _ = _load_tables(fix)
+    seed_ids = [s["seed_id"] for s in seeds][:N_SEEDS]
+    results = {}
+    for w in LEVELS:
+        results[w] = run_level(fix, seed_ids, w)
+        print(f"kernel x{w}: {results[w]}", file=sys.stderr)
+    lo, hi = min(LEVELS), max(LEVELS)
+    eff = results[hi]["urls_per_sec"] / (
+        (hi / lo) * results[lo]["urls_per_sec"]
+    )
+    print(json.dumps({"levels": {str(k): v for k, v in results.items()},
+                      "kernel_eff": round(eff, 3), "n_seeds": len(seed_ids)}))
+
+
+if __name__ == "__main__":
+    main()

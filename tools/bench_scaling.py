@@ -62,8 +62,12 @@ def run_child(cpus: int) -> None:
     from scrapy_crawler_german_real_estate_sites_spark.sources.tables import get_spark
 
     fix = E._fixture(SF_DIR)
+    # 4 tasks/core: python-heavy post-shuffle stages (pipeline pass, parse)
+    # straggle badly at 1 task/core — finer tasks level the load (measured
+    # parse 534s -> 413s at local[8], sf0.1)
+    sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0")) or 4 * cpus
     spark = get_spark(app=f"bench-scaling-{cpus}", cpus=str(cpus),
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=sp)
     # warm the JVM + parquet footers with a trivial action so the measured
     # window is crawl work, not session startup
     spark.read.parquet(os.path.join(fix, "seeds.parquet")).count()
@@ -121,6 +125,15 @@ def run_parent() -> None:
     hw_eff = burn[hi] / (ratio * burn[lo])
     print(f"hardware ceiling (pure-python multiprocessing) at same levels: "
           f"{hw_eff:.3f}")
+
+    # workload-matched ceiling: tools/bench_parse_kernel.py output, if the
+    # caller saved it to BENCH/kernel_calib.json (same parse kernel, zero
+    # framework — the tightest bound any engine can hit on this box)
+    kernel = None
+    kpath = os.path.join(REPO, "BENCH", "kernel_calib.json")
+    if os.path.exists(kpath):
+        with open(kpath) as f:
+            kernel = json.load(f)
 
     md_dir = os.path.join(REPO, "BENCH")
     os.makedirs(md_dir, exist_ok=True)
