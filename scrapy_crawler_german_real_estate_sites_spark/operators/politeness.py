@@ -91,6 +91,72 @@ def select_batch(
     return p.drop("cum_det_excl", "cum_lst_excl")
 
 
+def tag_batch(
+    pending: DataFrame,
+    state: DataFrame,
+    robots: DataFrame,
+    iter_no: int,
+    iter_seconds: float = 10.0,
+    default_delay: float = 10.0,
+    default_concurrent: int = 1,
+    token_scale: float = 1.0,
+) -> DataFrame:
+    """Fused form of :func:`select_batch`: returns the pending set (minus
+    stopped seeds) with a boolean ``sel`` column marking the wave batch,
+    instead of returning only the selected rows.
+
+    One checkpoint of this result replaces TWO per-wave engine jobs — the
+    batch-select materialization at wave start and the frontier anti-join
+    ("remove fetched rows") at wave end become complementary filters over
+    the same cached blocks.  Semantics are identical to ``select_batch``:
+    the cumulative budget/listing windows count only rows eligible at this
+    wave (``not_before`` gate), and the bounded-mode token bucket ranks
+    only rows that survived the budget filters (conditional cumulative sum
+    ≡ row_number over the filtered subset).
+    """
+    p = pending.join(F.broadcast(state), "seed_id").where(~F.col("stopped"))
+    elig = F.col("not_before") <= F.lit(iter_no)
+
+    w = Window.partitionBy("seed_id").orderBy("fifo_seq")
+    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
+    is_det = (F.col("kind").isin("detail", "detail2") & elig).cast("int")
+    is_listing = ((F.col("kind") == "listing") & elig).cast("int")
+    cum_det_excl = F.coalesce(F.sum(is_det).over(w_excl), F.lit(0))
+    cum_lst_excl = F.coalesce(F.sum(is_listing).over(w_excl), F.lit(0))
+
+    remaining = F.col("budget") - F.col("scraped")
+    presel = (
+        elig
+        & (cum_det_excl < remaining)
+        & (~F.col("spider_stop") | (cum_lst_excl == 0))
+    )
+    p = p.withColumn("presel", presel)
+
+    if iter_seconds < 1e5:
+        p = p.join(
+            F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
+            "netloc",
+            "left",
+        )
+        tokens = (
+            F.ceil(
+                F.lit(iter_seconds)
+                / F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+            )
+            * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
+            * F.lit(token_scale)
+        ).cast("long")
+        wn = Window.partitionBy("netloc").orderBy("fifo_seq", "seed_id")
+        cum_sel = F.sum(F.col("presel").cast("long")).over(
+            wn.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        p = p.withColumn("sel", F.col("presel") & (cum_sel <= tokens))
+    else:
+        p = p.withColumn("sel", F.col("presel"))
+
+    return p.select(*pending.columns, "sel")
+
+
 def robots_filter(links: DataFrame, robots: DataFrame):
     """P5 (north_rule): drop candidate links whose path starts with a
     disallowed prefix for their netloc.  Returns (allowed, blocked)."""

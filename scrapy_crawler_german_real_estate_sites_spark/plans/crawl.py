@@ -295,8 +295,13 @@ class CrawlEngine:
             }
             for r in self._seeds_local
         }
-        # accumulated outputs (unioned per wave, lineage-truncated)
-        self.pending = self.spark.createDataFrame(
+        # frontier state: ``tagged`` = pending rows + a boolean ``sel``
+        # marking the NEXT wave's batch (politeness.tag_batch).  One
+        # checkpoint per wave carries both the batch and the remaining
+        # frontier — wave start reads sel=true, wave end unions sel=false
+        # with the new links; no separate select job, no remove-fetched
+        # anti-join.
+        pending0 = self.spark.createDataFrame(
             [
                 (
                     r.seed_id, 0, r.url, "start",
@@ -316,6 +321,7 @@ class CrawlEngine:
         self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self._seen_unfolded = 0
         self.bloom = seen_ops.BloomFilter()
+        self.tagged = self._tag(pending0, 0).localCheckpoint(eager=True)
         self.logs = {k: [] for k in ("fetch", "dup_skips")}
         self._trash = []
         self.out_batches = {"items": [], "docs": [], "alerts": []}
@@ -323,6 +329,17 @@ class CrawlEngine:
         self.iteration = 0
 
     # ---------------------------------------------------------------
+    def _tag(self, pending_df: DataFrame, iter_no: int) -> DataFrame:
+        return politeness.tag_batch(
+            pending_df, self._state_df(), self.robots, iter_no,
+            iter_seconds=self.iter_seconds, token_scale=self.token_scale,
+        )
+
+    @property
+    def pending(self) -> DataFrame:
+        """The not-yet-fetched frontier (checkpoint/inspection surface)."""
+        return self.tagged.drop("sel")
+
     def _state_df(self):
         rows = [
             (
@@ -356,7 +373,16 @@ class CrawlEngine:
             _last[0] = now
 
         it = self.iteration
-        state_df = self._state_df()
+        # the batch was tagged (and checkpointed) at the END of the previous
+        # wave — selecting it is a filter over cached blocks, not a job over
+        # the politeness windows
+        batch = self.tagged.where(F.col("sel")).select(
+            "seed_id", "fifo_seq", "url", "kind", "netloc", "meta", "depth"
+        )
+        n_batch = batch.count()
+        _mark('select')
+        if n_batch == 0:
+            return {"iteration": it, "fetched": 0, "wall_ms": 0}
         state_snap_bc = self.spark.sparkContext.broadcast(
             {
                 sid: (s["scraped"], s["stop_condition"], s["spider_stop"],
@@ -364,18 +390,6 @@ class CrawlEngine:
                 for sid, s in self.state.items()
             }
         )
-        batch = politeness.select_batch(
-            self.pending, state_df, self.robots, it,
-            iter_seconds=self.iter_seconds, token_scale=self.token_scale,
-        ).select(
-            "seed_id", "fifo_seq", "url", "kind", "netloc", "meta", "depth"
-        )
-        batch = batch.localCheckpoint(eager=True)
-        n_batch = batch.count()
-        _mark('select')
-        if n_batch == 0:
-            state_snap_bc.unpersist(blocking=False)
-            return {"iteration": it, "fetched": 0, "wall_ms": 0}
 
         fetched = self.pages.join(F.broadcast(batch), "url", "inner")
         # parse directly on the scan splits: the cached pages fan out
@@ -491,31 +505,30 @@ class CrawlEngine:
         seen_df = self.seen
         if self.use_bloom:
             cand = seen_ops.with_bloom_flag(cand, self.bloom)
-        # materialize the candidate set ONCE: the negative/positive split
-        # below reads it twice (and the ordering log a third time) — without
-        # this the explode + robots + bloom subtree re-executes per branch
-        cand = cand.localCheckpoint(eager=True)
-        self._unpersist_later(cand)
-        if self.use_bloom:
-            cand_neg = cand.where(~F.col("maybe_seen") | ~F.col("dup_check"))
-            cand_pos = cand.where(F.col("maybe_seen") & F.col("dup_check"))
-        else:
-            cand_neg = cand.where(~F.col("dup_check"))
-            cand_pos = cand.where(F.col("dup_check"))
         # reference dup rule (database.py:88-98): candidate is a dup iff an
         # item with EXACTLY url==strip(candidate) was inserted before the
         # parent page's parse (FIFO position), or by another seed / a
-        # previous run (fifo_seq = -1).  Anti-join drops on ANY such match.
-        dup_cond = (F.col("c.norm_url") == F.col("s.url")) & (
+        # previous run (fifo_seq = -1).  ONE anti-join covers all cases:
+        # rows the bloom clears (~maybe_seen — no false negatives) and
+        # no-dup-check kinds carry a false conjunct, so no seen row can
+        # match them and the anti-join passes them through — no
+        # candidate-set split, no intermediate checkpoint; the whole
+        # subtree roots in the checkpointed pass output and evaluates once
+        # inside the wave-end frontier job.
+        dup_cond = (F.col("c.norm_url") == F.col("s.url")) & F.col(
+            "c.dup_check"
+        ) & (
             (F.col("s.seed_id") != F.col("c.seed_id"))
             | (F.col("s.fifo_seq") < F.col("c.parent_fifo_seq"))
         )
-        kept_pos = cand_pos.alias("c").join(
+        if self.use_bloom:
+            dup_cond = dup_cond & F.col("c.maybe_seen")
+        new_links = cand.alias("c").join(
             seen_df.alias("s"), dup_cond, "left_anti"
         )
         if self.track_order:
             dup_rows = (
-                cand_pos.alias("c")
+                cand.alias("c")
                 .join(seen_df.alias("s"), dup_cond, "left_semi")
                 .select("seed_id", "url")
                 .collect()
@@ -523,7 +536,6 @@ class CrawlEngine:
             self.logs["dup_skips"].extend((r.seed_id, r.url) for r in dup_rows)
         else:
             dup_rows = []
-        new_links = cand_neg.select(cand_pos.columns).unionByName(kept_pos)
 
         # --- fifo assignment (per-seed monotone enqueue order).  fifo_seq
         # only has to be ORDER-preserving, not dense: links discovered in
@@ -547,38 +559,27 @@ class CrawlEngine:
             )
         )
         _mark('dedup')
-        new_pending = new_pending.localCheckpoint(eager=True)
-        n_new_links = new_pending.count()
-        _mark('fifo')
 
-        # --- frontier update: remove selected rows, drop stopped seeds' rows
-        stopped_ids = [(s,) for s, st in self.state.items() if st["stopped"]]
-        # broadcast the wave batch keys: without the hint this anti-join
-        # shuffles the ENTIRE pending frontier every wave (checkpointed RDDs
-        # carry no stats, so the planner defaults to sort-merge)
-        nxt = self.pending.join(
-            F.broadcast(batch.select("seed_id", "fifo_seq")),
-            ["seed_id", "fifo_seq"],
-            "left_anti",
-        ).unionByName(new_pending)
-        if stopped_ids:
-            nxt = nxt.join(
-                F.broadcast(
-                    self.spark.createDataFrame(stopped_ids, "seed_id string")
-                ),
-                "seed_id",
-                "left_anti",
-            )
-        old_pending = self.pending
-        self.pending = nxt.localCheckpoint(eager=True)
-        self._unpersist_later(old_pending)
-        self._unpersist_later(batch)
+        # --- fused frontier update + NEXT wave's politeness select: the
+        # unselected remainder (complementary filter over this wave's
+        # cached blocks — no remove-fetched anti-join) unions with the new
+        # links, and tag_batch marks wave it+1's batch against the state
+        # updated above (stopped seeds' rows drop inside tag_batch).  ONE
+        # checkpoint job materializes dedup + fifo + frontier + select.
+        nxt = self.tagged.where(~F.col("sel")).drop("sel").unionByName(
+            new_pending
+        )
+        old_tagged = self.tagged
+        self.tagged = self._tag(nxt, it + 1).localCheckpoint(eager=True)
+        self._unpersist_later(old_tagged)
         # NOTE: ``passed`` blocks must stay alive — the lazy seen-set
         # increments and item batches root in them, and a localCheckpoint
         # has no lineage to recompute from.  They are bounded by the run's
         # total parse output (the crawl's actual result set); a production
         # run appends them to Iceberg instead of the block manager.
-        self._unpersist_later(new_pending)
+        # n_new_links counts post-stopped-drop rows (diagnostics) — a
+        # metadata-cheap filter over the fresh checkpoint's blocks
+        n_new_links = self.tagged.where(F.col("depth") == it + 1).count()
         _mark('frontier')
 
         # --- logs + metrics (item batches stay lazy: they root in the
@@ -669,9 +670,6 @@ class CrawlEngine:
             json.dump({"state": self.state, "iteration": self.iteration}, f)
 
     def resume_from(self, ckpt_dir: str):
-        self.pending = self.spark.read.parquet(
-            os.path.join(ckpt_dir, "pending")
-        ).localCheckpoint(eager=True)
         self.seen = self.spark.read.parquet(
             os.path.join(ckpt_dir, "seen")
         ).localCheckpoint(eager=True)
@@ -679,6 +677,11 @@ class CrawlEngine:
             snap = json.load(f)
         self.state = snap["state"]
         self.iteration = snap["iteration"]
+        pending = self.spark.read.parquet(os.path.join(ckpt_dir, "pending"))
+        self.tagged = self._tag(
+            pending.select([f.name for f in PENDING_SCHEMA.fields]),
+            self.iteration,
+        ).localCheckpoint(eager=True)
         self.bloom = seen_ops.BloomFilter()
         urls = [r.url for r in self.seen.select("url").collect()]
         if urls:
