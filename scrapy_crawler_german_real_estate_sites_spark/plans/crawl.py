@@ -1,14 +1,23 @@
 """The crawl engine: a partitioned URL frontier drained in waves.
 
 Replaces the reference's cron + caller.py + 10 scrapyd nodes + Twisted
-event loop (SURVEY.md §3.1) with one declarative per-wave dataflow:
+event loop (SURVEY.md §3.1) with one declarative per-wave dataflow,
+materialized as THREE Spark jobs per wave (every extra barrier is serial
+time that caps scaling):
 
-    select (politeness ∧ FIFO-prefix ∧ budget)            [native window]
-      → fetch (broadcast-hash join frontier-batch × pages) [native join]
-      → parse + link-extract                               [Arrow mapInPandas]
-      → per-seed pipeline pass (budget/stop/insert gates)  [applyInPandas]
-      → robots filter → bloom + seen-rule dedup            [native + sketch]
-      → frontier append with FIFO sequence numbers         [native window]
+    [job 1: parse]   fetch (broadcast-hash join batch × pages)
+                       → parse + link-extract               [Arrow mapInPandas]
+                       → per-seed pipeline pass             [applyInPandas]
+    [job 2: collect] per-seed state + per-partition lineage stats
+                       + inserted-URL bloom shards, one driver round-trip
+    [job 3: frontier] robots filter → bloom + seen-rule dedup (single
+                       anti-join) → FIFO sequence window → union with the
+                       unselected remainder → tag_batch marks the NEXT
+                       wave's politeness batch ('sel' column)
+
+The wave-start "select" is a filter over job 3's cached blocks from the
+previous wave — politeness.tag_batch fuses batch selection and the
+remove-fetched frontier update into complementary filters.
 
 Ordering contract (A6): every new link gets a per-seed monotone
 ``fifo_seq`` reconstructing Scrapy's FIFO enqueue order (parents in fifo
