@@ -95,8 +95,14 @@ def main():
     eff = results[hi]["urls_per_sec"] / (
         (hi / lo) * results[lo]["urls_per_sec"]
     )
-    print(json.dumps({"levels": {str(k): v for k, v in results.items()},
-                      "kernel_eff": round(eff, 3), "n_seeds": len(seed_ids)}))
+    payload = {"levels": {str(k): v for k, v in results.items()},
+               "kernel_eff": round(eff, 3), "n_seeds": len(seed_ids),
+               "sf": os.path.basename(os.path.normpath(SF_DIR))}
+    out_path = os.path.join(REPO, "BENCH", "kernel_calib.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -177,6 +177,23 @@ def run_parent() -> None:
         "per-wave dataflow — broadcast fetch join, salted netloc partitions,",
         "size-capped driver state — carries no per-core shared bottleneck.)",
         "",
+    ]
+    if kernel:
+        klo, khi = str(min(LEVELS)), str(max(LEVELS))
+        lv = kernel.get("levels", {})
+        lines += [
+            "Workload-matched ceiling (`tools/bench_parse_kernel.py`): the",
+            "engine's exact parse kernel under plain multiprocessing — zero",
+            "framework, embarrassingly parallel — scales at",
+            f"**{kernel['kernel_eff']:.3f}** between the same levels"
+            + (f" ({lv[klo]['urls_per_sec']:.0f} → {lv[khi]['urls_per_sec']:.0f}"
+               f" urls/sec compute-only)" if klo in lv and khi in lv else "")
+            + ".  No engine can scale better than its kernel on this",
+            "shared-silicon box; the gap between the engine's efficiency and",
+            "this number is the framework's true overhead.",
+            "",
+        ]
+    lines += [
         f"_Generated by `tools/bench_scaling.py` at sf={sf}._",
         "",
     ]
