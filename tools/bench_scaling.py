@@ -176,8 +176,9 @@ def run_parent() -> None:
         f"Hardware calibration: pure-python multiprocessing CPU burn at the",
         f"same two levels scales at {hw_eff:.3f} on this box — the engine's",
         "efficiency should be read against that ceiling. (At 8→32 the",
-        "ceiling itself drops to ~0.81 from SMT/memory-bandwidth contention,",
-        "which is why N=2,4N=8 is the representative pair here; on a real",
+        "ceiling itself drops to ~0.81 from memory-bandwidth/shared-cache",
+        "contention (32 physical cores, no SMT), which is why N=2,4N=8 is",
+        "the representative pair here; on a real",
         "multi-executor cluster each executor owns its cores and the",
         "per-wave dataflow — broadcast fetch join, salted netloc partitions,",
         "size-capped driver state — carries no per-core shared bottleneck.)",
