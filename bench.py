@@ -55,9 +55,8 @@ def main():
     # --- headline: crawl throughput on the matching fixture tier
     tier = sf_name if sf_name in TIERS else "sf0.01"
     fix = E._fixture(SF_DIR)
-    # crawl runs python-heavy post-shuffle stages: 4 tasks/core levels
-    # stragglers (see tools/bench_scaling.py); runtime conf, crawl only
-    spark.conf.set("spark.sql.shuffle.partitions", str(4 * int(CPUS)))
+    # (the engine sizes shuffle partitions per job phase itself —
+    # 4 tasks/core for the python-heavy parse, 1x for small jobs)
     t0 = time.time()
     eng = CrawlEngine(spark, fix, hour=7, track_order=False)
     summary = eng.run(max_waves=100)

@@ -89,7 +89,11 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local mode: driver JVM == executor; size the heap for the pages
+        # cache + per-wave localCheckpoint blocks with enough headroom that
+        # G1 never runs mixed-GC storms mid-wave (measured multi-10s stage
+        # stalls at 24g with 32 task threads at sf0.1)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
