@@ -44,51 +44,16 @@ def select_batch(
     """pending: (seed_id, fifo_seq, url, kind, netloc, meta, not_before, depth)
     state:   (seed_id, scraped, budget, spider_stop, stopped)
     robots:  (netloc, crawl_delay_s, max_concurrent, disallow_prefixes)
+
+    Returns the selected wave batch.  Thin filter over :func:`tag_batch`
+    (single source of truth for the selection semantics — the engine uses
+    the tagged form directly so one checkpoint carries batch + remainder).
     """
-    p = (
-        pending.join(F.broadcast(state), "seed_id")
-        .where(~F.col("stopped") & (F.col("not_before") <= F.lit(iter_no)))
-    )
-
-    w = Window.partitionBy("seed_id").orderBy("fifo_seq")
-    w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
-    is_det = F.col("kind").isin("detail", "detail2").cast("int")
-    is_listing = (F.col("kind") == "listing").cast("int")
-    p = p.withColumn("cum_det_excl", F.coalesce(F.sum(is_det).over(w_excl), F.lit(0)))
-    p = p.withColumn(
-        "cum_lst_excl", F.coalesce(F.sum(is_listing).over(w_excl), F.lit(0))
-    )
-
-    remaining = F.col("budget") - F.col("scraped")
-    p = p.where(F.col("cum_det_excl") < remaining)
-    # spider-stop drain: details before the next listing + that listing
-    p = p.where(~F.col("spider_stop") | (F.col("cum_lst_excl") == 0))
-
-    # per-netloc token bucket.  Fast path: iter_seconds >= 1e5 is the
-    # engine's explicit "politeness-unbounded" sentinel (drain mode /
-    # throughput benchmarking) — the bucket cannot bind there, so skip the
-    # netloc window entirely: it partitions by netloc (13 German portals =
-    # 13 partitions), a skewed low-parallelism shuffle that would serialize
-    # the wave at any cluster size.
-    if iter_seconds < 1e5:
-        p = p.join(
-            F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
-            "netloc",
-            "left",
-        )
-        tokens = (
-            F.ceil(
-                F.lit(iter_seconds)
-                / F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
-            )
-            * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
-            * F.lit(token_scale)
-        ).cast("long")
-        wn = Window.partitionBy("netloc").orderBy("fifo_seq", "seed_id")
-        p = p.withColumn("rn", F.row_number().over(wn)).where(F.col("rn") <= tokens)
-        p = p.drop("rn", "crawl_delay_s", "max_concurrent")
-
-    return p.drop("cum_det_excl", "cum_lst_excl")
+    return tag_batch(
+        pending, state, robots, iter_no,
+        iter_seconds=iter_seconds, default_delay=default_delay,
+        default_concurrent=default_concurrent, token_scale=token_scale,
+    ).where(F.col("sel")).drop("sel")
 
 
 def tag_batch(
@@ -132,6 +97,12 @@ def tag_batch(
     )
     p = p.withColumn("presel", presel)
 
+    # per-netloc token bucket.  Fast path: iter_seconds >= 1e5 is the
+    # engine's explicit "politeness-unbounded" sentinel (drain mode /
+    # throughput benchmarking) — the bucket cannot bind there, so skip the
+    # netloc window entirely: it partitions by netloc (13 German portals =
+    # 13 partitions), a skewed low-parallelism shuffle that would serialize
+    # the wave at any cluster size.
     if iter_seconds < 1e5:
         p = p.join(
             F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
