@@ -355,9 +355,9 @@ def q_robots_filter(spark, sf_dir):
 
 SQL_ROBOTS = f"""
 SELECT p.netloc,
-       sum(CASE WHEN len(list_filter(r.disallow_prefixes,
+       CAST(sum(CASE WHEN len(list_filter(r.disallow_prefixes,
              pfx -> starts_with(regexp_replace(p.url, '^https?://[^/]+', ''), pfx))) > 0
-           THEN 1 ELSE 0 END) AS blocked,
+           THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
        count(*) AS total
 FROM (SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS netloc
       FROM read_parquet('{_fp("pages")}')) p
@@ -497,7 +497,7 @@ pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
           FROM banded a JOIN banded b2 ON a.band = b2.band AND a.bucket = b2.bucket
           WHERE a.doc_id < b2.doc_id)
 SELECT id_a, id_b,
-       list_sum(list_transform(range(1, 33), i -> abs(sva[i] - svb[i]))) AS hamming
+       CAST(list_sum(list_transform(range(1, 33), i -> abs(sva[i] - svb[i]))) AS BIGINT) AS hamming
 FROM pairs
 WHERE list_sum(list_transform(range(1, 33), i -> abs(sva[i] - svb[i]))) <= 3
 """

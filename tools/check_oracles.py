@@ -69,6 +69,21 @@ def main(names=None):
                 f"SCHEMA MISMATCH spark={sorted(sdf.columns)} duck={sorted(odf.columns)}"
             )
             continue
+        # The driver hashes stringified raw values: a DuckDB float64 column vs a
+        # Spark int64 column ("3.0" vs "3") is a hash mismatch even when values
+        # are equal.  Flag dtype-kind divergence (int vs float) as a failure.
+        kind_bad = [
+            c
+            for c in sorted(sdf.columns)
+            if {sdf[c].dtype.kind, odf[c].dtype.kind} == {"i", "f"}
+            or {sdf[c].dtype.kind, odf[c].dtype.kind} == {"u", "f"}
+        ]
+        if kind_bad:
+            results[name] = (
+                f"DTYPE MISMATCH (driver hash would differ) cols="
+                f"{[(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in kind_bad]}"
+            )
+            continue
         a, b = normalize(sdf), normalize(odf)
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False)
