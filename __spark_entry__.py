@@ -424,14 +424,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         dedup_ngram_jaccard,
     )
 
-    return dedup_ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.1)
+    # max_df: the exact shingle self-join is quadratic in per-shingle doc
+    # frequency; dropping shingles shared by >100 docs bounds the hottest
+    # join keys at any corpus size (df-capped shingling).  The SQL oracle
+    # mirrors the cap, and tests/test_dedup.py proves the guard semantics
+    # on a corpus with a planted hot shingle.
+    return dedup_ngram_jaccard(_t(spark, sf_dir, "documents"), threshold=0.1,
+                               max_df=100)
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+sh2 AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+          FROM sh2 a JOIN sh2 b USING (sh) WHERE a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b,
        round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -536,19 +544,39 @@ def q_embedding_neardup(spark, sf_dir):
         dedup_embedding_cosine,
     )
 
+    # random-hyperplane LSH blocking (8 bands × 4 bits): candidates share at
+    # least one exact 4-bit band of md5-seeded sign bits; exact-cosine verify
+    # of candidates only.  Unlike the previous label-blocking, bucket keys
+    # are hash-uniform (skew-free shuffle) and similarity-preserving — the
+    # 100 TB path.  The oracle mirrors the banding bit-for-bit (planes are
+    # md5-derived, so both engines compute identical signatures); pair
+    # recall vs the exact cross join is proven in tests/test_dedup.py.
     return dedup_embedding_cosine(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, block_col="label"
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, lsh_bands=8, lsh_bits=4
     )
 
 
+# mirrors hyperplane_signature(): plane p component j = md5("p,j")[:8] as a
+# 32-bit int mapped to [-1,1); bit = sign of <v, plane>; 8 bands of 4 bits
 SQL_EMBEDDING_NEARDUP = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v,
+          list_transform(range(0, 32), p ->
+            CASE WHEN list_sum(list_transform(range(1, len(v) + 1), j ->
+                   v[j] * ((CAST(concat('0x', substr(md5(concat(p, ',', j - 1)), 1, 8))
+                                 AS BIGINT) / 4294967296.0) * 2.0 - 1.0)
+                 )) >= 0 THEN 1 ELSE 0 END) AS sv
+        FROM e),
+banded AS (SELECT vec_id, bd.bd AS band,
+                  array_to_string(sv[bd.bd*4+1 : bd.bd*4+4], '') AS bucket
+           FROM sig, unnest(generate_series(0, 7)) AS bd(bd)),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
 """
 
 

@@ -62,6 +62,10 @@ def main():
     summary = eng.run(max_waves=100)
     crawl_sec = time.time() - t0
     spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
+    # drop crawl-run cached blocks (seen-set folds, localCheckpoints) so the
+    # analytics timings below aren't skewed by leftover storage-memory
+    # pressure from the crawl
+    spark.catalog.clearCache()
     timings["crawl"] = round(crawl_sec, 3)
     urls_per_sec = summary["fetched"] / crawl_sec if crawl_sec else 0.0
 

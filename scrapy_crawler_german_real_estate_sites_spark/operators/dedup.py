@@ -64,12 +64,18 @@ def dedup_ngram_jaccard(
     """Exact Jaccard over word n-gram shingle sets; pairs (a<b) with
     similarity ≥ threshold.  ``max_df`` drops shingles appearing in more
     than max_df docs before the join (skew guard at scale)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
     )
     if max_df:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_df).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    # exchange barrier on the join key: the expensive shingle expression is
+    # computed once and both self-join sides (plus nothing else) reuse the
+    # same shuffle output (ReusedExchange) instead of re-evaluating the
+    # higher-order transform per side
+    sh = sh.repartition(par, "sh")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -266,15 +272,60 @@ def dedup_simhash(
 
 
 # ---------------------------------------------------------------------------
-# 5. embedding-cosine near-dup
+# 5. embedding-cosine near-dup (random-hyperplane LSH blocking at scale)
 # ---------------------------------------------------------------------------
+
+def hyperplane_signature(v_col, nplanes):
+    """Sign-bit signature under ``nplanes`` md5-seeded pseudo-random
+    hyperplanes (SimHash for real-valued vectors / SRP-LSH).  Plane ``p``'s
+    component ``j`` is derived from ``md5("p,j")``'s first 32 bits mapped to
+    [-1, 1) — deterministic, data-independent, and reproducible in DuckDB
+    SQL byte-for-byte, so banded blocking keeps an exact oracle.  All
+    native higher-order exprs; no UDF, no driver-side plane broadcast."""
+    dim_idx = F.sequence(F.lit(0), F.size(v_col) - 1)
+
+    def bit(p):
+        plane = F.transform(
+            dim_idx,
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(",", p.cast("string"), j.cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("double")
+                / F.lit(4294967296.0)
+            ) * 2.0 - 1.0,
+        )
+        dot = F.aggregate(
+            F.zip_with(v_col, plane, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(nplanes - 1)), bit)
+
 
 def dedup_embedding_cosine(
     emb: DataFrame, threshold=0.95, id_col="vec_id", vec_col="embedding",
-    block_col=None,
+    block_col=None, lsh_bands=None, lsh_bits=4,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold.  ``block_col`` (e.g. an LSH bucket or
-    label) turns the cross join into a per-block join at scale."""
+    """Pairs with cosine ≥ threshold.
+
+    Blocking strategies (pick one; default is the exact cross join, the
+    small-data verifier):
+
+    * ``lsh_bands``/``lsh_bits`` — random-hyperplane LSH: signature of
+      ``lsh_bands*lsh_bits`` sign bits, banded OR-amplification (a pair is
+      a candidate iff some band's bits all match), then exact cosine
+      verification of candidates only.  Similarity-preserving by
+      construction (P[bit match] = 1 - angle/pi), hash-uniform bucket
+      keys → skew-free shuffle.  This is the 100 TB path.
+    * ``block_col`` — caller-supplied equi-join key (e.g. a precomputed
+      cluster id) when the data carries a genuine similarity partition.
+    """
     v = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -282,17 +333,66 @@ def dedup_embedding_cosine(
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     v = v.withColumn("nrm", norm)
-    keys = ["blk"] if block_col else []
-    a, b = v.alias("a"), v.alias("b")
-    joined = a.join(b, keys) if keys else a.crossJoin(b)
     dot = F.aggregate(
         F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
     )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+
+    if lsh_bands:
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        nplanes = lsh_bands * lsh_bits
+        sig = v.repartition(par, "id").withColumn(
+            "sv", hyperplane_signature(F.col("v"), nplanes)
+        )
+        banded = (
+            sig.select(
+                "id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(lsh_bands - 1)),
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.concat_ws(
+                                "", F.slice(F.col("sv"), b * lsh_bits + 1, lsh_bits)
+                            ).alias("bucket"),
+                        ),
+                    )
+                ).alias("bb"),
+            )
+            .select("id", "bb.band", "bb.bucket")
+            .repartition(par, "band", "bucket")
+        )
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        vv = v.select("id", "v", "nrm")
+        joined = cand.join(
+            vv.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("nrm").alias("na")), "id_a"
+        ).join(
+            vv.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("nrm").alias("nb")), "id_b"
+        )
+        dot_ab = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+            lambda a_, x: a_ + x,
+        )
+        return (
+            joined.withColumn("cosine", F.round(dot_ab / (F.col("na") * F.col("nb")), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    keys = ["blk"] if block_col else []
+    a, b = v.alias("a"), v.alias("b")
+    joined = a.join(b, keys) if keys else a.crossJoin(b)
     return (
         joined.where(F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-        )
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"

@@ -1,0 +1,249 @@
+"""Known-answer tests for the dedup suite (exact, n-gram Jaccard + max_df
+guard, MinHash-LSH, SimHash, embedding-cosine incl. hyperplane-LSH blocking).
+
+Oracles here are independent pure-Python brute-force reimplementations of
+the published algorithm definitions — not the Spark code paths — so a
+regression in operators/dedup.py fails loudly without the round driver.
+"""
+
+import hashlib
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (4, "completely different text about spark engines here"),
+    (5, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+    (6, "unrelated sentence mentioning nothing in common at all"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# pure-Python oracles (independent of operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def py_shingles(text, n=3):
+    toks = text.strip().lower().split()
+    if len(toks) <= n:
+        return {" ".join(toks[0:n])}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard_pairs(docs, n=3, threshold=0.0, drop=frozenset()):
+    sh = {i: py_shingles(t, n) - drop for i, t in docs}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = round(inter / (len(sa) + len(sb) - inter), 6)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def py_simhash(text, bits=32):
+    toks = []
+    seen = set()
+    for t in text.strip().lower().split():
+        if t not in seen:
+            seen.add(t)
+            toks.append(t)
+    sv = []
+    for b in range(bits):
+        s = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            s += 1 if (h >> b) & 1 else -1
+        sv.append(1 if s > 0 else 0)
+    return sv
+
+
+def py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 6)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_exact_known_answer(spark):
+    rows = {r.keep_id: r.dup_count for r in dedup_exact(docs_df(spark)).collect()}
+    # doc 2 is byte-identical to doc 1 → one group of 2 keeping min id 1
+    assert rows == {1: 2, 3: 1, 4: 1, 5: 1, 6: 1}
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(docs_df(spark), threshold=0.1).collect()
+    }
+    want = py_jaccard_pairs(DOCS, threshold=0.1)
+    assert got == pytest.approx(want)
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dups score 1
+    assert (1, 3) in got  # one-word edit is a near-dup
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    # plant a shingle shared by every doc: without the guard it creates
+    # pairs between ALL docs; with max_df < n_docs those pairs vanish
+    hot = [(i, f"{t} zzz hot shingle" ) for i, t in DOCS]
+    df = spark.createDataFrame(hot, "doc_id long, text string")
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in dedup_ngram_jaccard(df, threshold=0.01).collect()
+    }
+    # the planted trigram "zzz hot shingle" links every doc pair
+    assert len(unguarded) == len(DOCS) * (len(DOCS) - 1) // 2
+    guarded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(df, threshold=0.01, max_df=5).collect()
+    }
+    # guard semantics: jaccard recomputed over df-capped shingle sets
+    hot_shingles = set.intersection(*[py_shingles(t) for _, t in hot])
+    want = py_jaccard_pairs(hot, threshold=0.01, drop=frozenset(hot_shingles))
+    assert guarded == pytest.approx(want)
+    assert len(guarded) < len(unguarded)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_candidates_verified_exact(spark):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_minhash_lsh(docs_df(spark), threshold=0.5).collect()
+    }
+    exact = py_jaccard_pairs(DOCS, threshold=0.5)
+    # LSH output is a subset of the exact pair set (verification step is
+    # exact), and every reported jaccard equals the true jaccard
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact[pair])
+    # identical docs always collide in every band → never missed
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_recall_on_near_identical_corpus(spark):
+    # 10 docs in 5 near-identical pairs (one-word tail edits); groups use
+    # disjoint vocabularies so only the within-group pairs (jaccard 0.9)
+    # qualify — at 4 bands x 4 hashes their banded-MinHash miss prob is
+    # (1 - 0.9^4)^4 ~ 1.4%
+    rows = []
+    for g in range(5):
+        base = " ".join(f"w{g}x{i}" for i in range(10))
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, f"{base} extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(df, threshold=0.5).collect()}
+    exact = set(py_jaccard_pairs(rows, threshold=0.5))
+    assert exact  # the fixture really has qualifying pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_equals_bruteforce_pigeonhole(spark):
+    # with 4 bands over 32 bits, any pair within hamming<=3 shares at least
+    # one exact band (pigeonhole) → banding has FULL recall; the operator's
+    # output must therefore equal the brute-force pair set exactly
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_simhash(docs_df(spark), max_hamming=3).collect()
+    }
+    sv = {i: py_simhash(t) for i, t in DOCS}
+    want = {}
+    for a, b in itertools.combinations(sorted(sv), 2):
+        h = sum(x != y for x, y in zip(sv[a], sv[b]))
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert got[(1, 2)] == 0  # identical docs → identical signature
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine (exact + hyperplane-LSH blocking)
+# ---------------------------------------------------------------------------
+
+def _planted_vectors(dim=16, groups=8, seed=7):
+    """groups base vectors, each with a high-cosine twin (tiny deterministic
+    perturbation) → `groups` planted near-dup pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for g in range(groups):
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        w = v + 0.05 * rng.randn(dim)
+        w /= np.linalg.norm(w)
+        rows.append((2 * g, [float(x) for x in v]))
+        rows.append((2 * g + 1, [float(x) for x in w]))
+    return rows
+
+
+def test_embedding_cosine_exact_matches_numpy(spark):
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_cosine(df, threshold=0.9).collect()
+    }
+    want = {}
+    for (a, va), (b, vb) in itertools.combinations(rows, 2):
+        c = py_cosine(va, vb)
+        if c >= 0.9:
+            want[(a, b)] = c
+    assert set(got) == set(want)
+    for pair in got:
+        assert got[pair] == pytest.approx(want[pair], abs=1e-6)
+
+
+def test_embedding_lsh_blocking_subset_and_recall(spark):
+    rows = _planted_vectors(groups=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(df, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(
+            df, threshold=0.95, lsh_bands=8, lsh_bits=4
+        ).collect()
+    }
+    assert exact  # planted twins really clear the threshold
+    # verification is exact → no false positives
+    assert lsh <= exact
+    # at cosine>=0.95 the per-bit collision prob is ~0.9; missing all 8
+    # bands is ~1e-4 per pair → demand >=90% pair recall
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9

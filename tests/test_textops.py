@@ -1,0 +1,133 @@
+"""Known-answer tests for functions/textops.py (language-ID, token counts,
+quality metrics, fingerprints) — hand-computed expectations, no Spark-side
+oracle reuse."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_crawler_german_real_estate_sites_spark.functions import textops as tx
+
+
+def one(spark, text, *cols):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(*cols).collect()[0]
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+def test_lang_id_known_answers(spark):
+    cases = {
+        "the cat and the dog of the house in town": "en",
+        "der hund und die katze und das haus nicht": "de",
+        "el perro y la casa de los gatos que viven": "es",
+        "le chien et la maison les arbres des villes": "fr",
+        "zzz qqq xxx www": "unknown",
+        "": "unknown",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r.text: r.lang for r in df.select("text", tx.lang_id("text").alias("lang")).collect()}
+    assert got == cases
+
+
+def test_lang_id_tie_break_is_first_language_code(spark):
+    # 'la' is a stopword for both es and fr (1 hit each) → deterministic
+    # tie-break picks the earlier language code ('es')
+    row = one(spark, "la plume", tx.lang_id("text").alias("lang"))
+    assert row.lang == "es"
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def test_token_counts(spark):
+    text = "Hello world, this has 7 tokens!"
+    row = one(
+        spark, text,
+        tx.ws_token_count("text").alias("ws"),
+        tx.bpe_ish_token_count("text").alias("bpe"),
+    )
+    assert row.ws == len(text.split())
+    assert row.bpe == len(re.findall(tx.BPE_ISH_PATTERN, text.lower()))
+
+
+# ---------------------------------------------------------------------------
+# quality metrics
+# ---------------------------------------------------------------------------
+
+def test_punct_and_stopword_ratio(spark):
+    text = "the cat, the hat!"
+    row = one(
+        spark, text,
+        tx.punct_ratio("text").alias("p"),
+        tx.stopword_ratio("text").alias("s"),
+        tx.mean_word_len("text").alias("m"),
+    )
+    n_punct = len(re.findall(r"[^\w\s]", text))  # ',' and '!'
+    assert row.p == pytest.approx(round(n_punct / len(text), 6))
+    # stopword hits across ALL language lists: 'the' x2 (en)
+    assert row.s == pytest.approx(round(2 / 4, 6))
+    toks = text.split()
+    assert row.m == pytest.approx(round(sum(map(len, toks)) / len(toks), 6))
+
+
+def test_quality_score_bands(spark):
+    good = (
+        "the project and the team of people in the office went to the "
+        "library and read the books of the season in quiet rooms"
+    )
+    bad = "!!! ??? ***"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id long, text string")
+    got = {r.id: r.q for r in df.select("id", tx.quality_score("text").alias("q")).collect()}
+    # good: all four bands pass → 0.3+0.2+0.3+0.2 = 1.0
+    assert got[1] == pytest.approx(1.0)
+    # bad: short (0.3*0.3) + punct-heavy (0.4*0.2) + no stopwords (0.5*0.3)
+    # + mean word len 3 passes (1.0*0.2) = 0.52
+    assert got[2] == pytest.approx(0.52)
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+def py_fingerprint(text, n=5):
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    toks = norm.split(" ")
+    md5_fp = hashlib.md5(norm.encode()).hexdigest()
+    hi = max(len(toks) - n, 0)
+    sh = [hashlib.md5(" ".join(toks[i:i + n]).encode()).hexdigest() for i in range(hi + 1)]
+    return md5_fp, min(sh)
+
+
+def test_fingerprint_known_answer_and_ws_invariance(spark):
+    text = "Alpha beta  gamma\tdelta epsilon zeta eta theta"
+    md5_col, minsh_col = tx.fingerprint("text")
+    row = one(spark, text, md5_col, minsh_col)
+    want_md5, want_min = py_fingerprint(text)
+    assert row.md5_fp == want_md5
+    assert row.min_shingle_fp == want_min
+    # whitespace-normalized: tabs/double spaces don't change the fingerprint
+    row2 = one(spark, "alpha beta gamma delta epsilon zeta eta theta", md5_col, minsh_col)
+    assert row2.md5_fp == want_md5
+    assert row2.min_shingle_fp == want_min
+
+
+def test_min_shingle_fp_robust_to_tail_edit(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = base + " tail"
+    md5_col, minsh_col = tx.fingerprint("text")
+    r1 = one(spark, base, md5_col, minsh_col)
+    r2 = one(spark, edited, md5_col, minsh_col)
+    assert r1.md5_fp != r2.md5_fp  # exact hash sees the edit
+    # winnowing-style min-hash: the min shingle of the base is still a
+    # shingle of the edited doc unless the appended text creates a smaller
+    # hash — with this fixture it doesn't (checked by the python oracle)
+    _, want1 = py_fingerprint(base)
+    _, want2 = py_fingerprint(edited)
+    assert (r1.min_shingle_fp, r2.min_shingle_fp) == (want1, want2)
+    assert want1 == want2
