@@ -366,6 +366,30 @@ GROUP BY p.netloc
 """
 
 
+def q_geocode_enrich(spark, sf_dir):
+    """J3/J4 (reference pipelines.py:31-100, dead code — see COVERAGE.md):
+    suburb → stadtid resolution over the deterministic geocache fixture,
+    re-expressed as a broadcast membership join (ermittleStadtvidFromSuburb
+    semantics; min id for determinism on ambiguous suburb names)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.geocode import (
+        resolve_suburb_stadtid,
+    )
+
+    return resolve_suburb_stadtid(
+        _fx(spark, sf_dir, "geocache"), _fx(spark, sf_dir, "stadte")
+    )
+
+
+SQL_GEOCODE_ENRICH = f"""
+SELECT g.address, g.lat, g.lon, g.suburb,
+       CAST(min(s.id) AS BIGINT) AS stadtid
+FROM read_parquet('{_fp("geocache")}') g
+JOIN read_parquet('{_fp("stadte")}') s
+  ON list_contains(s.stadtviertel, g.suburb)
+GROUP BY g.address, g.lat, g.lon, g.suburb
+"""
+
+
 def q_crawl_listings(spark, sf_dir):
     """End-to-end crawl (tiny tier for bounded runtime) — non-SQL-expressible
     (iterative frontier with stateful stops); driver records rows-only."""
@@ -761,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viertel_index": q_viertel_index,
         "liveness_gone": q_liveness_gone,
         "robots_filter": q_robots_filter,
+        "geocode_enrich": q_geocode_enrich,
         "crawl_listings": q_crawl_listings,
         "multimodal_stub": q_multimodal_stub,
         "dedup_exact": q_dedup_exact,
@@ -800,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "viertel_index": SQL_VIERTEL,
         "liveness_gone": SQL_LIVENESS,
         "robots_filter": SQL_ROBOTS,
+        "geocode_enrich": SQL_GEOCODE_ENRICH,
         # crawl_listings: iterative stateful crawl — rows-only (no oracle)
         "multimodal_stub": SQL_MULTIMODAL,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -70,14 +70,17 @@ def main(argv=None):
     summary = eng.run(max_waves=args.max_waves)
 
     os.makedirs(args.out, exist_ok=True)
-    eng.items_df().write.mode("overwrite").parquet(
-        os.path.join(args.out, "listings")
+    # sinks go through the table-format switch: parquet paths by default,
+    # Iceberg snapshot tables when SPARK_GRAFT_TABLE_FORMAT=iceberg
+    tables.write_state(eng.items_df(), os.path.join(args.out, "listings"))
+    tables.write_state(eng.seen, os.path.join(args.out, "seen"))
+    tables.write_state(
+        spark.createDataFrame(
+            [(m["iteration"], json.dumps(m)) for m in eng.metrics],
+            "iteration int, metrics_json string",
+        ),
+        os.path.join(args.out, "metrics"),
     )
-    eng.seen.write.mode("overwrite").parquet(os.path.join(args.out, "seen"))
-    spark.createDataFrame(
-        [(m["iteration"], json.dumps(m)) for m in eng.metrics],
-        "iteration int, metrics_json string",
-    ).write.mode("overwrite").parquet(os.path.join(args.out, "metrics"))
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f)
     print(json.dumps(summary))

@@ -2,8 +2,9 @@
 
 One Arrow-batched ``mapInPandas`` pass dispatches each fetched page to its
 portal parser (``operators/portals``) — reproducing the reference spiders'
-parse callbacks — and emits, per page, the extracted item (canonical JSON +
-typed projections) and the extracted links (JSON array).  This is the only
+parse callbacks — and emits, per page, the extracted items (canonical JSON
+text each, in a native struct array) and the extracted links (native
+struct array).  This is the only
 Python on the hot path; everything before (politeness/budget selection,
 fetch join) and after (dedup anti-join, frontier append) is native Spark.
 
@@ -21,15 +22,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PARSED_SCHEMA = (
-    "seed_id string, fifo_seq long, url string, kind string, "
-    "netloc string, partition_id int, parse_ok boolean, "
-    "items_json string, links_json string"
-)
-
+# items/links travel as NATIVE Arrow struct arrays between the parse pass,
+# the pipeline pass and the link explosion — a json-string encoding here
+# costs a full encode+decode round-trip per wave on the measured hot path
+# (parse is the bottleneck stage).  item_json itself stays a canonical JSON
+# STRING: byte-identity per item is the correctness contract
+# (BASELINE.json:input_hint), so the item payload is opaque bytes to Spark.
 LINK_SCHEMA = (
     "array<struct<url:string, kind:string, seq:int, dup_check:boolean, "
     "meta:string>>"
+)
+
+PARSED_SCHEMA = (
+    "seed_id string, fifo_seq long, url string, kind string, "
+    "netloc string, partition_id int, parse_ok boolean, "
+    "items array<struct<kind:string, item_json:string>>, "
+    f"links {LINK_SCHEMA}"
 )
 
 
@@ -72,7 +80,7 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date,
         for pdf in batches:
             out = {k: [] for k in (
                 "seed_id", "fifo_seq", "url", "kind", "netloc", "partition_id",
-                "parse_ok", "items_json", "links_json")}
+                "parse_ok", "items", "links")}
             for row in pdf.itertuples(index=False):
                 ctx = ctx_for(row.seed_id)
                 meta = json.loads(row.meta) if row.meta else {}
@@ -85,7 +93,8 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date,
                         row.kind, body, row.url, meta, ctx
                     )
                     items = [
-                        [kind, canonical_item_text(it)] for it, kind in pr.items
+                        {"kind": kind, "item_json": canonical_item_text(it)}
+                        for it, kind in pr.items
                     ]
                     links = [
                         {
@@ -108,20 +117,21 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date,
                 out["netloc"].append(row.netloc)
                 out["partition_id"].append(pid)
                 out["parse_ok"].append(ok)
-                out["items_json"].append(json.dumps(items))
-                out["links_json"].append(json.dumps(links))
+                out["items"].append(items)
+                out["links"].append(links)
             yield pd.DataFrame(out)
 
     return batch_df.mapInPandas(run, schema=PARSED_SCHEMA)
 
 
 def explode_links(parsed: DataFrame) -> DataFrame:
-    """Native link explosion: links_json → one row per link (F1–F14 output)."""
+    """Native link explosion: links struct array → one row per link
+    (F1–F14 output).  No from_json — links arrive as Arrow structs."""
     return (
         parsed.select(
             "seed_id",
             F.col("fifo_seq").alias("parent_fifo_seq"),
-            F.explode(F.from_json("links_json", LINK_SCHEMA)).alias("lk"),
+            F.explode(F.col("links")).alias("lk"),
         )
         .select(
             "seed_id",

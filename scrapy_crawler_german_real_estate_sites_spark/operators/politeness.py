@@ -77,7 +77,10 @@ def tag_batch(
     the cumulative budget/listing windows count only rows eligible at this
     wave (``not_before`` gate), and the bounded-mode token bucket ranks
     only rows that survived the budget filters (conditional cumulative sum
-    ≡ row_number over the filtered subset).
+    ≡ row_number over the filtered subset).  Exception: in drain mode
+    (``iter_seconds >= 1e5`` with ``token_scale >= 1``) the per-netloc
+    token bucket is skipped by design, so very large robots crawl delays
+    are ignored rather than yielding a tiny-but-binding token count.
     """
     p = pending.join(F.broadcast(state), "seed_id").where(~F.col("stopped"))
     elig = F.col("not_before") <= F.lit(iter_no)
@@ -99,11 +102,16 @@ def tag_batch(
 
     # per-netloc token bucket.  Fast path: iter_seconds >= 1e5 is the
     # engine's explicit "politeness-unbounded" sentinel (drain mode /
-    # throughput benchmarking) — the bucket cannot bind there, so skip the
-    # netloc window entirely: it partitions by netloc (13 German portals =
-    # 13 partitions), a skewed low-parallelism shuffle that would serialize
-    # the wave at any cluster size.
-    if iter_seconds < 1e5:
+    # throughput benchmarking) — the token bucket is DISABLED there BY
+    # DESIGN, skipping the netloc window entirely: it partitions by netloc
+    # (13 German portals = 13 partitions), a skewed low-parallelism shuffle
+    # that would serialize the wave at any cluster size.  Note this is not
+    # "provably non-binding": a robots crawl_delay_s near a day still
+    # yields ~ceil(1e5/86400)*concurrent tokens, which could bind — drain
+    # mode intentionally ignores crawl delays.  token_scale < 1 is an
+    # explicit request for scaled-down politeness, so it always takes the
+    # real bucket.
+    if iter_seconds < 1e5 or token_scale < 1.0:
         p = p.join(
             F.broadcast(robots.select("netloc", "crawl_delay_s", "max_concurrent")),
             "netloc",

@@ -68,7 +68,8 @@ PASS_SCHEMA = (
     "seed_id string, fifo_seq long, item_idx int, url string, kind string, "
     "counted boolean, effective boolean, item_json string, item_kind string, "
     "doc_json string, seen_url string, alert string, failure string, "
-    "links_json string, partition_id int"
+    "links array<struct<url:string, kind:string, seq:int, dup_check:boolean, "
+    "meta:string>>, partition_id int"
 )
 
 PENDING_SCHEMA = T.StructType(
@@ -128,7 +129,7 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                 "item_idx": -1, "url": row.url, "kind": row.kind,
                 "counted": False, "effective": False, "item_json": None,
                 "item_kind": None, "doc_json": None, "seen_url": None,
-                "alert": None, "failure": None, "links_json": "[]",
+                "alert": None, "failure": None, "links": [],
                 "partition_id": int(row.partition_id),
             }
 
@@ -145,10 +146,13 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                 continue
             rec["counted"] = True
             rec["effective"] = True
-            rec["links_json"] = row.links_json if row.parse_ok else "[]"
+            # links/items arrive as native Arrow struct arrays (no json
+            # decode on this measured-hot path)
+            rec["links"] = list(row.links) if row.parse_ok else []
             out.append(rec)
-            items = json.loads(row.items_json) if row.parse_ok else []
-            for idx, (item_kind, item_json) in enumerate(items):
+            items = row.items if row.parse_ok else []
+            for idx, it in enumerate(items):
+                item_kind, item_json = it["kind"], it["item_json"]
                 if stop_condition >= DUP_STREAK_LIMIT:  # pipelines.py:363-369
                     stop_condition = 0
                     spider_stop = True
@@ -187,7 +191,7 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                     }
                 ),
                 "seen_url": None, "alert": None, "failure": None,
-                "links_json": "[]", "partition_id": -1, "item_idx": -1,
+                "links": [], "partition_id": -1, "item_idx": -1,
             }
         )
         return pd.DataFrame(out)
@@ -211,8 +215,10 @@ class CrawlEngine:
         use_bloom: bool = True,
         item_budgets: dict = None,
         checkpoint_every: int = 0,  # 0 = no parquet checkpoints
-        track_order: bool = True,  # golden-ordering bookkeeping (tests);
-        #                            off for throughput benchmarking
+        track_order: bool = False,  # golden-ordering bookkeeping: collects
+        #   every fetched/dup row to the driver per wave — O(fetched rows)
+        #   driver memory, for the parity/resume test suites only.  Default
+        #   OFF so production paths never collect per-row state.
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -371,7 +377,27 @@ class CrawlEngine:
         self._trash.clear()
 
     def run_wave(self) -> dict:
-        """One frontier wave. Returns metrics for the wave."""
+        """One frontier wave. Returns metrics for the wave.
+
+        NOTE: after a wave returns ``selected=0`` / ``fetched=0`` the run is
+        over — ``self.tagged`` is not re-tagged at a later iter_no on the
+        empty path, so ``not_before``-deferred rows (P4 backoff re-enqueue,
+        an API no live path populates yet) cannot surface by calling
+        run_wave() again; ``run()`` terminates on the first empty wave.
+
+        Restores the caller's ``spark.sql.shuffle.partitions`` on exit —
+        the per-phase overrides (4x cores for the python-heavy parse, 1x
+        for small frontier jobs) are scoped to the wave's own jobs.
+        """
+        orig_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            return self._run_wave_inner()
+        finally:
+            # per-phase overrides must not leak into other workloads
+            # sharing this SparkSession (streaming, bench analytics)
+            self.spark.conf.set("spark.sql.shuffle.partitions", orig_shuffle)
+
+    def _run_wave_inner(self) -> dict:
         t0 = time.time()
         stage_t = {}
         _last = [t0]
@@ -513,7 +539,7 @@ class CrawlEngine:
         # --- new links from effective rows
         links = explode_links(
             pages_out.where(F.col("effective")).select(
-                "seed_id", "fifo_seq", "links_json"
+                "seed_id", "fifo_seq", "links"
             )
         ).withColumn("netloc", _netloc(F.col("url")))
         allowed, blocked = politeness.robots_filter(links, self.robots)
@@ -538,8 +564,12 @@ class CrawlEngine:
         # candidate-set split, no intermediate checkpoint; the whole
         # subtree roots in the checkpointed pass output and evaluates once
         # inside the wave-end frontier job.
-        dup_cond = (F.col("c.norm_url") == F.col("s.url")) & F.col(
-            "c.dup_check"
+        # coalesce: parse never emits NULL dup_check, but pin the fused
+        # anti-join's NULL semantics explicitly — NULL means "no dup check",
+        # the row passes through as a new link (not three-valued 'not true'
+        # by accident)
+        dup_cond = (F.col("c.norm_url") == F.col("s.url")) & F.coalesce(
+            F.col("c.dup_check"), F.lit(False)
         ) & (
             (F.col("s.seed_id") != F.col("c.seed_id"))
             | (F.col("s.fifo_seq") < F.col("c.parent_fifo_seq"))
@@ -685,27 +715,32 @@ class CrawlEngine:
     def checkpoint(self):
         if not self.workdir:
             return
+        from ..sources.tables import write_state
+
         d = os.path.join(self.workdir, f"ckpt_{self.iteration:04d}")
         os.makedirs(d, exist_ok=True)
-        self.pending.write.mode("overwrite").parquet(os.path.join(d, "pending"))
-        self.seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+        write_state(self.pending, os.path.join(d, "pending"))
+        write_state(self.seen, os.path.join(d, "seen"))
         with open(os.path.join(d, "state.json"), "w") as f:
             json.dump({"state": self.state, "iteration": self.iteration}, f)
 
     def resume_from(self, ckpt_dir: str):
-        self.seen = self.spark.read.parquet(
-            os.path.join(ckpt_dir, "seen")
+        from ..sources.tables import read_state
+
+        self.seen = read_state(
+            self.spark, os.path.join(ckpt_dir, "seen")
         ).localCheckpoint(eager=True)
         with open(os.path.join(ckpt_dir, "state.json")) as f:
             snap = json.load(f)
         self.state = snap["state"]
         self.iteration = snap["iteration"]
-        pending = self.spark.read.parquet(os.path.join(ckpt_dir, "pending"))
+        pending = read_state(self.spark, os.path.join(ckpt_dir, "pending"))
         self.tagged = self._tag(
             pending.select([f.name for f in PENDING_SCHEMA.fields]),
             self.iteration,
         ).localCheckpoint(eager=True)
-        self.bloom = seen_ops.BloomFilter()
-        urls = [r.url for r in self.seen.select("url").collect()]
-        if urls:
-            self.bloom.add_many(urls)
+        # distributed bloom rebuild: per-partition bitmap shards OR-merged
+        # at the driver (O(partitions) collect) — NOT a collect of every
+        # seen URL, which is O(inserted URLs) driver memory/time and cannot
+        # work at the 10^10-URL north-star scale
+        self.bloom = seen_ops.build_bloom(self.seen.select("url"))

@@ -61,6 +61,57 @@ def ensure_udf_imports(spark: SparkSession):
         pass  # already added in this context
 
 
+def table_format() -> str:
+    """Engine state-table format switch (north_rule: Iceberg snapshots).
+    ``SPARK_GRAFT_TABLE_FORMAT=iceberg`` routes all engine state writes
+    (checkpoints, listings/seen/metrics sinks) through an Iceberg hadoop
+    catalog; the default is plain parquet paths with the same schemas."""
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+
+
+def iceberg_ready(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_ident(path: str) -> str:
+    """Map a state path to a catalog identifier under the hadoop warehouse:
+    ``…/run1/ckpt_0003/pending`` → ``graft.ckpt_0003_<h8>.pending`` (the
+    path-hash suffix keeps concurrent runs' namespaces disjoint)."""
+    import hashlib
+    import re
+
+    norm = os.path.normpath(os.path.abspath(path))
+    parts = [p for p in norm.split(os.sep) if p]
+    ns = re.sub(r"[^A-Za-z0-9_]", "_", parts[-2] if len(parts) > 1 else "state")
+    name = re.sub(r"[^A-Za-z0-9_]", "_", parts[-1])
+    h8 = hashlib.md5(norm.encode()).hexdigest()[:8]
+    return f"graft.{ns}_{h8}.{name}"
+
+
+def write_state(df: DataFrame, path: str, mode: str = "overwrite"):
+    """Engine state sink: parquet path or Iceberg table per
+    :func:`table_format`.  Iceberg writes are ``createOrReplace`` — each
+    checkpoint is a new table snapshot, giving exact resume + time travel
+    without the parquet-dir overwrite races."""
+    if table_format() == "iceberg":
+        df.writeTo(_iceberg_ident(path)).using("iceberg").createOrReplace()
+    else:
+        df.write.mode(mode).parquet(path)
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame:
+    if table_format() == "iceberg":
+        return spark.read.table(_iceberg_ident(path))
+    return spark.read.parquet(path)
+
+
 def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
               extra_conf=None) -> SparkSession:
     _ensure_pythonpath()
@@ -97,6 +148,21 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if table_format() == "iceberg":
+        wh = os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        )
+        b = (
+            b.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.graft",
+                    "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.graft.type", "hadoop")
+            .config("spark.sql.catalog.graft.warehouse", wh)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -21,7 +21,7 @@ from scrapy_crawler_german_real_estate_sites_spark.plans.simulator import (
 
 @pytest.fixture(scope="module")
 def engine_run(spark, fix_small):
-    eng = CrawlEngine(spark, fix_small, hour=7)
+    eng = CrawlEngine(spark, fix_small, hour=7, track_order=True)
     summary = eng.run(max_waves=60)
     return eng, summary
 
@@ -95,7 +95,7 @@ def test_docs_alerts_dups_identical(engine_run, sim_small):
 def test_politeness_budget_preserves_order(spark, fix_tiny, sim_tiny):
     """Throttled waves (small per-netloc token buckets) must not change the
     per-seed fetch order or the outputs — only how many waves it takes."""
-    eng = CrawlEngine(spark, fix_tiny, hour=7, iter_seconds=10.0,
+    eng = CrawlEngine(spark, fix_tiny, hour=7, iter_seconds=10.0, track_order=True,
                       token_scale=25.0)  # 25 pages/netloc/wave
     eng.run(max_waves=400)
     sim_per = _sim_per_seed_fetch(sim_tiny)

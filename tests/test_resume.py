@@ -5,19 +5,19 @@ from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import CrawlEngin
 
 def test_resume_exact(spark, fix_tiny, tmp_path):
     # uninterrupted reference run
-    full = CrawlEngine(spark, fix_tiny, hour=7)
+    full = CrawlEngine(spark, fix_tiny, hour=7, track_order=True)
     full.run(max_waves=60)
     full_seen = {r.url for r in full.seen.select("url").collect()}
     full_fetch = full.fetch_order()
 
     # interrupted run: 3 waves, checkpoint, then a FRESH engine resumes
-    part = CrawlEngine(spark, fix_tiny, hour=7, workdir=str(tmp_path))
+    part = CrawlEngine(spark, fix_tiny, hour=7, workdir=str(tmp_path), track_order=True)
     for _ in range(3):
         part.run_wave()
     part.checkpoint()
     ckpt = str(tmp_path / "ckpt_0003")
 
-    resumed = CrawlEngine(spark, fix_tiny, hour=7)
+    resumed = CrawlEngine(spark, fix_tiny, hour=7, track_order=True)
     resumed.resume_from(ckpt)
     resumed.run(max_waves=60)
 
