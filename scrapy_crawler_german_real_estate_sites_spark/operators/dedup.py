@@ -271,7 +271,9 @@ def dedup_simhash(
         lambda acc, d: acc + d,
     )
     return (
-        pairs.withColumn("hamming", hamming)
+        # long: the DuckDB oracle's list_sum is BIGINT — keep the driver's
+        # type-sensitive value hash aligned
+        pairs.withColumn("hamming", hamming.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
