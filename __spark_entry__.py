@@ -511,27 +511,30 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_simhash(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+# 60-bit packed fingerprint (first 15 md5 hex chars per distinct token),
+# per-bit sign-sum, 4 bands x 15 bits, hamming = bit_count(XOR) — mirrors
+# operators/dedup.py:simhash_fingerprint/dedup_simhash bit-for-bit
 SQL_SIMHASH = """
 WITH toks AS (SELECT doc_id,
                      unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
               FROM documents),
-hv AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+hv AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
 bits AS (SELECT doc_id, b.b AS b,
                 CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
-                     THEN 1 ELSE 0 END AS bit
-         FROM hv, unnest(generate_series(0, 31)) AS b(b) GROUP BY doc_id, b.b),
-sv AS (SELECT doc_id, list(bit ORDER BY b) AS sv FROM bits GROUP BY doc_id),
+                     THEN CAST(1 AS BIGINT) << b.b ELSE CAST(0 AS BIGINT) END AS bitval
+         FROM hv, unnest(generate_series(0, 59)) AS b(b) GROUP BY doc_id, b.b),
+sv AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS sv FROM bits GROUP BY doc_id),
 banded AS (SELECT doc_id, sv, bd.bd AS band,
-                  array_to_string(sv[bd.bd*8+1 : bd.bd*8+8], '') AS bucket
+                  (sv >> (bd.bd * 15)) & 32767 AS bucket
            FROM sv, unnest(generate_series(0, 3)) AS bd(bd)),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
                  a.sv AS sva, b2.sv AS svb
           FROM banded a JOIN banded b2 ON a.band = b2.band AND a.bucket = b2.bucket
           WHERE a.doc_id < b2.doc_id)
 SELECT id_a, id_b,
-       CAST(list_sum(list_transform(range(1, 33), i -> abs(sva[i] - svb[i]))) AS BIGINT) AS hamming
+       CAST(bit_count(xor(sva, svb)) AS BIGINT) AS hamming
 FROM pairs
-WHERE list_sum(list_transform(range(1, 33), i -> abs(sva[i] - svb[i]))) <= 3
+WHERE bit_count(xor(sva, svb)) <= 3
 """
 
 

@@ -66,6 +66,14 @@ def main():
     # analytics timings below aren't skewed by leftover storage-memory
     # pressure from the crawl
     spark.catalog.clearCache()
+    # settle the session before the per-query timings: a full GC drains the
+    # crawl's tenured garbage (56g heap — the first analytics query
+    # otherwise absorbs a multi-second mixed-GC storm; measured 24s vs ~1s
+    # standalone for pricing_summary at sf0.1), and one throwaway
+    # shuffle+agg job re-warms codegen so query timings measure the
+    # queries, not the JIT.
+    spark.sparkContext._jvm.System.gc()
+    spark.range(1_000_000).selectExpr("id % 7 AS k").groupBy("k").count().count()
     timings["crawl"] = round(crawl_sec, 3)
     urls_per_sec = summary["fetched"] / crawl_sec if crawl_sec else 0.0
 

@@ -17,6 +17,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-exchange the NARROW raw input before the heavy per-row
+    expressions (shingling, per-token md5, hyperplane dots).
+
+    Why: Catalyst evaluates projection expressions in the stage below the
+    first exchange — i.e. inside the scan stage.  A scan's parallelism is
+    bounded by its splittable units, and real corpora routinely arrive as
+    few/giant/skew-sized files or single-row-group parquet (this sandbox's
+    testdata is exactly that), which would serialize the expensive
+    projection onto a handful of cores.  These operators all shuffle
+    anyway (self-joins on shingle/bucket keys), so one extra linear,
+    hash-uniform exchange of (id, text) bytes is noise next to the
+    expression cost it parallelizes — measured 2-4x wall-time at sf0.1."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key)
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer expensive subtree (shingle relation,
+    fingerprint relation) exactly once.
+
+    Catalyst's ReusedExchange would in principle share one shuffle across
+    the self-join sides and join-backs, but under AQE the reuse is not
+    guaranteed — the executed simhash plan showed SIX parquet scans and
+    zero ReusedExchange nodes, i.e. the whole fingerprint computation ran
+    once per consumer (28s vs 11s at sf0.1).  An eager localCheckpoint
+    pins the relation as executor-local blocks (same pattern as the crawl
+    engine's per-wave frontier pins, plans/crawl.py) — at 100 TB this is
+    the difference between one corpus pass and one per consumer; the
+    pinned relation itself is the NARROW (id, signature) projection, not
+    the corpus."""
+    return df.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # tokenization shared by dedup + textops (column expressions)
 # ---------------------------------------------------------------------------
@@ -65,9 +100,10 @@ def dedup_ngram_jaccard(
     similarity ≥ threshold.  ``max_df`` drops shingles appearing in more
     than max_df docs before the join (skew guard at scale)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    raw = _spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")), "id"
     )
+    sh = raw.select("id", F.explode(shingles_col(F.col("txt"), n)).alias("sh"))
     if max_df:
         hot = sh.groupBy("sh").count().where(F.col("count") > max_df).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -127,18 +163,27 @@ def dedup_minhash_lsh(
     hash-uniform so the shuffle is skew-free by construction."""
     rows = num_hashes // bands
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # exchange barrier directly above the shingle computation: the three
-    # consumers (signature branch + BOTH exact-verify join sides) all reuse
-    # ONE shuffle of materialized shingle arrays (ReusedExchange) instead of
-    # re-evaluating the heavy higher-order transform per branch — measured
-    # 50s → ~17s cold at sf0.1/local[32]
+    # layout: scan → exchange(id) [_spread: un-serialize the scan stage]
+    # → Project(shingles, parallel) → exchange(id) → _pin.  The pinned
+    # shingle relation feeds all 3 consumers (signature branch + BOTH
+    # exact-verify join sides) without re-evaluating the heavy
+    # higher-order transform per branch (see _pin: AQE does not reliably
+    # give ReusedExchange here).
+    # The null-text guard runs on the RAW column pre-spread; the previous
+    # where(size(shs) > 0) was equivalent (shingles_col never yields an
+    # empty array, only NULL for NULL text) but predicate pushdown rewrote
+    # it into a full second evaluation of the shingle expression inside
+    # the single-task scan stage.
     with_sh = (
-        docs.select(
-            F.col(id_col).alias("id"), shingles_col(text_col, n).alias("shs")
+        _spread(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+            .where(F.col("txt").isNotNull()),
+            "id",
         )
-        .where(F.size("shs") > 0)
+        .select("id", shingles_col(F.col("txt"), n).alias("shs"))
         .repartition(par, "id")
     )
+    with_sh = _pin(with_sh)
     sig = with_sh.select(
         "id", minhash_sig_from_shingles(F.col("shs"), num_hashes).alias("sig")
     )
@@ -190,93 +235,154 @@ def dedup_minhash_lsh(
 # 4. SimHash (64-bit, md5-derived bit weights)
 # ---------------------------------------------------------------------------
 
-def token_hashes_col(text_col):
-    """Per-token 32-bit hashes (first 8 md5 hex chars) — materialized once
-    per row so the 32-bit sign-sum doesn't re-hash every token 32 times."""
-    toks = F.array_distinct(tokens_col(text_col))
-    return F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    )
+def simhash_fingerprint(docs: DataFrame, bits=60, word_bits=15, id_col="doc_id",
+                        text_col="text") -> DataFrame:
+    """Per-doc ``bits``-wide SimHash packed into ONE BIGINT (id, sv).
 
+    Charikar-style fingerprint: per distinct token, a ``bits``-wide hash
+    (first bits/4 md5 hex chars → 60 bits always fits a signed long);
+    per-bit sign-sum over the doc's tokens; bit set iff the sum is > 0.
 
-def simhash_from_hashes(hv, bits=32):
-    """SimHash from pre-hashed tokens: sign-sum per bit."""
-    # (h >> b) & 1 with a Column shift amount: floor-div by 2^b, mod 2
-    bit_of = lambda h, b: (
-        (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+    Expression-shape notes (measured at sf0.1/local[32]):
+    * per-token bits come from ONE ``bin()``/``lpad``/``split`` per token
+      (string ops whole-stage codegen'd), NOT a per-(token,bit) shift —
+      and the sign-sums accumulate in a single ``aggregate`` pass with a
+      ``zip_with`` add.  An unrolled 60-column groupBy-sum formulation is
+      algebraically identical but compiles a pathological plan (20s of
+      codegen/planning for 2s of data); this tree is small and runs 2.4s.
+    * packing must NOT sum 2^b terms in double: a 60-bit sum spans more
+      than the 53-bit mantissa and silently drops low bits.  Pack each
+      ``word_bits``-bit word exactly (sums < 2^15 are integer-exact in
+      double), then combine words with literal-shift ``shiftleft`` +
+      ``bitwiseOR`` in the long domain.
+    Packing keeps every downstream shuffle (banding, pair distinct,
+    verify) at 8 bytes/row, and hamming becomes ``bit_count(XOR)``."""
+    hv = F.transform(
+        F.array_distinct(tokens_col(F.col("txt"))),
+        lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("long"),
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                hv,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    base = (
+        _spread(docs.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("txt")), "id")
+        .select("id", hv.alias("hv"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "id")
     )
+    # reverse(lpad(bin(h))) puts bit b at array index b+1 (1-based)
+    signs = lambda h: F.transform(
+        F.split(F.reverse(F.lpad(F.bin(h), bits, "0")), ""),
+        lambda c: F.when(c == "1", 1).otherwise(-1),
+    )
+    counts = F.aggregate(
+        F.col("hv"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    )
+    base = base.select("id", counts.alias("cnt"))
+    word = lambda w: F.aggregate(
+        F.zip_with(
+            F.slice(F.col("cnt"), w * word_bits + 1, word_bits),
+            F.sequence(F.lit(0), F.lit(word_bits - 1)),
+            lambda c, b: F.when(c > 0, F.pow(F.lit(2.0), b.cast("double")))
+            .otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("long")
+    sv = None
+    for w in range(bits // word_bits):
+        term = F.shiftleft(word(w), w * word_bits)
+        sv = term if sv is None else sv.bitwiseOR(term)
+    return base.select("id", sv.alias("sv"))
 
 
 def dedup_simhash(
-    docs: DataFrame, bits=32, max_hamming=3, id_col="doc_id", text_col="text"
+    docs: DataFrame, bits=60, max_hamming=3, id_col="doc_id", text_col="text"
 ) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance ≤ max_hamming.  Banding:
-    with 4 bands, any pair within distance 3 shares ≥1 exact band (pigeonhole)
-    → bucket join instead of all-pairs."""
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming.
+
+    Web-scale shape per Manku/Jain/Das Sarma (WWW'07, "Detecting
+    Near-Duplicates for Web Crawling"): a wide (60-bit) fingerprint with
+    block-banding — with ``max_hamming + 1`` bands, any pair within the
+    distance budget shares ≥1 exact band (pigeonhole) → full recall via a
+    bucket equi-join instead of all-pairs.  Wide bands (15 bits → 32k
+    buckets/band) keep collision buckets small on templated corpora where
+    a narrow (8-bit) band space degenerates into giant buckets and a
+    quadratic candidate explosion.  Candidates verify with
+    bit_count(sv_a XOR sv_b) on the packed longs."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sim = (
-        docs.select(F.col(id_col).alias("id"), token_hashes_col(text_col).alias("hv"))
-        .repartition(par, "id")
-        .select("id", simhash_from_hashes(F.col("hv"), bits).alias("sv"))
+    # ONE pinned (id, sv) relation keyed by the signature: the
+    # identical-signature self-join sides, the distinct-signature reps,
+    # and both inter-cluster member join-backs all read the materialized
+    # blocks (see _pin)
+    bysv = _pin(
+        simhash_fingerprint(docs, bits, band_bits, id_col, text_col).repartition(
+            par, "sv"
+        )
     )
+    # (1) identical fingerprints — on templated web corpora MOST near-dup
+    # pairs are exact-signature dups; emit them with a single equi-join on
+    # sv (each pair produced exactly once: no banding fan-out, no distinct)
+    intra = (
+        bysv.alias("a")
+        .join(bysv.alias("b"), "sv")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # (2) banding over DISTINCT signatures only (Manku et al.'s cluster
+    # trick): the candidate space is signature pairs, not doc pairs, so a
+    # 1000-doc dup cluster costs ONE row here instead of 10^6 candidates
+    reps = bysv.select("sv").distinct()
     banded = (
-        sim.select(
-            "id",
+        reps.select(
+            "sv",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.concat_ws(
-                            "", F.slice(F.col("sv"), b * band_bits + 1, band_bits)
-                        ).alias("bucket"),
-                    ),
-                )
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sv"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ])
             ).alias("bb"),
         )
-        .select("id", "bb.band", "bb.bucket")
+        .select("sv", "bb.band", "bb.bucket")
         .repartition(par, "band", "bucket")
     )
-    # distinct on bare id pairs, then join the signatures back (keeps the
-    # wide arrays out of the join+distinct shuffle)
-    pairs = (
+    # long: DuckDB's bit_count is cast to BIGINT in the oracle — keep the
+    # driver's type-sensitive value hash aligned
+    sv_pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .where(F.col("a.sv") < F.col("b.sv"))
+        .select(F.col("a.sv").alias("sva"), F.col("b.sv").alias("svb"))
         .distinct()
-    )
-    sv = sim.repartition(par, "id")
-    pairs = pairs.join(
-        sv.select(F.col("id").alias("id_a"), F.col("sv").alias("sv_a")), "id_a"
-    ).join(sv.select(F.col("id").alias("id_b"), F.col("sv").alias("sv_b")), "id_b")
-    hamming = F.aggregate(
-        F.zip_with("sv_a", "sv_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, d: acc + d,
-    )
-    return (
-        # long: the DuckDB oracle's list_sum is BIGINT — keep the driver's
-        # type-sensitive value hash aligned
-        pairs.withColumn("hamming", hamming.cast("long"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sva").bitwiseXOR(F.col("svb"))).cast("long"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    # expand qualifying signature pairs back to member doc pairs
+    inter = (
+        sv_pairs.join(
+            bysv.select(F.col("sv").alias("sva"), F.col("id").alias("ia")), "sva"
+        )
+        .join(bysv.select(F.col("sv").alias("svb"), F.col("id").alias("ib")), "svb")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------

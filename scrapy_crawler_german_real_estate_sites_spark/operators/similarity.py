@@ -32,10 +32,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. Excludes self-matches
     (same id).  Returns (q_id, vec_id, rank, cosine)."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # spread the corpus before the O(rows x queries x dim) scoring: the
+    # broadcast cross join inherits the scan's partitioning, and a
+    # few-split scan (single-row-group parquet here; few/giant files at
+    # scale) would serialize the whole dot-product sweep on one core.
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).repartition(par, "vec_id").withColumn("nrm", _norm(F.col("v")))
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).cast("array<double>").alias("qv"),
@@ -61,17 +66,26 @@ def assign_centroids(emb: DataFrame, ncentroids=16, id_col="vec_id",
     """Deterministic IVF coarse quantizer: centroids seeded from the
     ``ncentroids`` lowest-id vectors, refined by ``refine`` Lloyd steps
     (mean of assigned vectors).  Returns (assignments_df, centroids_df)."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    # spread before the per-row distance sweeps (see cosine_topk)
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).repartition(par, "vec_id")
     cents = (
         v.orderBy("vec_id").limit(ncentroids)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(refine):
         assigned = _nearest(v, cents)
-        # Lloyd update: element-wise mean via posexplode + re-assembly
+        # Lloyd update: element-wise mean via posexplode + re-assembly.
+        # Each refinement step is pinned with an eager localCheckpoint:
+        # Lloyd is iterative, and without the pin every downstream consumer
+        # of the centroids (query-probe ranking AND the final assignment)
+        # re-executes the whole refinement lineage — k rows of state buys
+        # one full corpus pass per step instead of one per consumer per
+        # step.  This is the standard iterative-algorithm pattern (same as
+        # MLlib's KMeans materializing centers per iteration).
         cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -79,6 +93,7 @@ def assign_centroids(emb: DataFrame, ncentroids=16, id_col="vec_id",
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            .localCheckpoint(eager=True)
         )
     return _nearest(v, cents), cents
 

@@ -59,20 +59,23 @@ def py_jaccard_pairs(docs, n=3, threshold=0.0, drop=frozenset()):
     return out
 
 
-def py_simhash(text, bits=32):
+def py_simhash(text, bits=60):
+    """Packed-long fingerprint mirroring simhash_fingerprint: per distinct
+    token, first bits/4 md5 hex chars; per-bit sign-sum; bit set iff > 0."""
     toks = []
     seen = set()
     for t in text.strip().lower().split():
         if t not in seen:
             seen.add(t)
             toks.append(t)
-    sv = []
+    sv = 0
     for b in range(bits):
         s = 0
         for t in toks:
-            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(t.encode()).hexdigest()[: bits // 4], 16)
             s += 1 if (h >> b) & 1 else -1
-        sv.append(1 if s > 0 else 0)
+        if s > 0:
+            sv |= 1 << b
     return sv
 
 
@@ -172,9 +175,9 @@ def test_minhash_lsh_recall_on_near_identical_corpus(spark):
 # ---------------------------------------------------------------------------
 
 def test_simhash_equals_bruteforce_pigeonhole(spark):
-    # with 4 bands over 32 bits, any pair within hamming<=3 shares at least
-    # one exact band (pigeonhole) → banding has FULL recall; the operator's
-    # output must therefore equal the brute-force pair set exactly
+    # with 4 bands over 60 bits, any pair within hamming<=3 shares at least
+    # one exact 15-bit band (pigeonhole) → banding has FULL recall; the
+    # operator's output must therefore equal the brute-force pair set exactly
     got = {
         (r.id_a, r.id_b): r.hamming
         for r in dedup_simhash(docs_df(spark), max_hamming=3).collect()
@@ -182,7 +185,7 @@ def test_simhash_equals_bruteforce_pigeonhole(spark):
     sv = {i: py_simhash(t) for i, t in DOCS}
     want = {}
     for a, b in itertools.combinations(sorted(sv), 2):
-        h = sum(x != y for x, y in zip(sv[a], sv[b]))
+        h = bin(sv[a] ^ sv[b]).count("1")
         if h <= 3:
             want[(a, b)] = h
     assert got == want
