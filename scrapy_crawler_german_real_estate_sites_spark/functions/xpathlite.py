@@ -31,6 +31,7 @@ batch boundary is Arrow, the per-document work is necessarily sequential.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from html.parser import HTMLParser
 from functools import lru_cache
 
@@ -53,7 +54,10 @@ class TextNode(str):
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent", "pos")
+    __slots__ = (
+        "tag", "attrs", "children", "parent", "pos", "n_elem",
+        "start", "end", "_idx",
+    )
 
     def __init__(self, tag, attrs, parent):
         self.tag = tag
@@ -61,6 +65,10 @@ class Node:
         self.children = []  # Node or str (text)
         self.parent = parent
         self.pos = 0  # index among parent's element children (doc order)
+        self.n_elem = 0  # running count of element children (O(1) pos)
+        self.start = 0  # preorder number (assigned by _doc_index)
+        self.end = 0  # preorder number of last descendant
+        self._idx = None  # document-order index, built lazily on the root
 
     # --- tree helpers -------------------------------------------------
     def iter_desc(self):
@@ -102,17 +110,19 @@ class _DomBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        node = Node(tag, dict(attrs), self.stack[-1])
         parent = self.stack[-1]
-        node.pos = sum(1 for c in parent.children if isinstance(c, Node))
+        node = Node(tag, dict(attrs), parent)
+        node.pos = parent.n_elem
+        parent.n_elem += 1
         parent.children.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, dict(attrs), self.stack[-1])
         parent = self.stack[-1]
-        node.pos = sum(1 for c in parent.children if isinstance(c, Node))
+        node = Node(tag, dict(attrs), parent)
+        node.pos = parent.n_elem
+        parent.n_elem += 1
         parent.children.append(node)
 
     def handle_endtag(self, tag):
@@ -132,6 +142,66 @@ def parse_html(text: str) -> Node:
     b.feed(text)
     b.close()
     return b.root
+
+
+class _DocIndex:
+    """Document-order index over one parsed document.
+
+    Preorder-numbers every node (elements AND text) and keeps per-tag /
+    all-text / all-element lists in document order.  A descendant step
+    from context node ``n`` is then a binary search over the start
+    numbers — candidates are exactly the index entries with
+    ``n.start < c.start <= n.end`` — instead of a full subtree walk per
+    step (the measured hot path of the parse kernel: ~60% of per-URL CPU
+    before this index, dominated by ``//tag[...]`` and
+    ``//text()[contains(.,…)]`` scans).  Built lazily, once per document,
+    amortized over the ~15 xpath() calls each portal parse makes."""
+
+    __slots__ = ("by_tag", "tag_starts", "texts", "text_starts",
+                 "elems", "elem_starts")
+
+    def __init__(self, root: Node):
+        by_tag = {}
+        texts = []
+        elems = []
+        counter = 0
+
+        def dfs(n):
+            nonlocal counter
+            for c in n.children:
+                counter += 1
+                if isinstance(c, Node):
+                    c.start = counter
+                    elems.append(c)
+                    lst = by_tag.get(c.tag)
+                    if lst is None:
+                        by_tag[c.tag] = [c]
+                    else:
+                        lst.append(c)
+                    dfs(c)
+                    c.end = counter
+                else:
+                    c.start = counter
+                    texts.append(c)
+
+        root.start = 0
+        dfs(root)
+        root.end = counter
+        self.by_tag = by_tag
+        self.texts = texts
+        self.elems = elems
+        self.tag_starts = {t: [n.start for n in lst] for t, lst in by_tag.items()}
+        self.text_starts = [t.start for t in texts]
+        self.elem_starts = [n.start for n in elems]
+
+
+def _doc_index(node: Node) -> _DocIndex:
+    root = node
+    while root.parent is not None:
+        root = root.parent
+    if root._idx is None:
+        root._idx = _DocIndex(root)
+    return root._idx
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +360,12 @@ def _parse_steps(path: str):
         if m.group("att"):
             test = m.group("att")
         else:
+            # html.parser lowercases element tags; lower the test ONCE at
+            # compile time instead of per _node_test call (was ~6M
+            # .lower() calls per 400-seed parse)
             test = m.group("test")
+            if test != "text()" and not test.startswith("@"):
+                test = test.lower()
         i = m.end()
         preds_raw, consumed = _parse_predicates(s[i:])
         i += consumed
@@ -373,7 +448,29 @@ def _node_test(cand, test):
         return isinstance(cand, Node)
     if test.startswith("@"):
         return False  # handled at step level
-    return isinstance(cand, Node) and cand.tag == test.lower()
+    # test is lowercased at compile time (_parse_steps)
+    return isinstance(cand, Node) and cand.tag == test
+
+
+def _desc_candidates(n: Node, test: str):
+    """Descendant candidates of ``n`` matching ``test``, in document
+    order, via the per-document index: a bisect over preorder numbers
+    replaces the full subtree walk."""
+    idx = _doc_index(n)
+    if test == "text()":
+        lst, starts = idx.texts, idx.text_starts
+    elif test == "*":
+        lst, starts = idx.elems, idx.elem_starts
+    else:
+        lst = idx.by_tag.get(test)
+        if lst is None:
+            return []
+        starts = idx.tag_starts[test]
+    if n.parent is None:  # document root: everything matches
+        return lst
+    lo = bisect_right(starts, n.start)
+    hi = bisect_right(starts, n.end)
+    return lst[lo:hi]
 
 
 def _apply_preds(matches, preds):
@@ -390,6 +487,7 @@ def _apply_preds(matches, preds):
 def _eval_steps(context, steps):
     cur = context
     for st in steps:
+        multi_ctx = len(cur) > 1  # duplicates need overlapping contexts
         nxt = []
         if st.test.startswith("@"):
             name = st.test[1:]
@@ -415,12 +513,23 @@ def _eval_steps(context, steps):
             for n in cur:
                 if not isinstance(n, Node):
                     continue
-                for parent in [n, *n.iter_desc()]:
+                # descendant-or-self parents in preorder via the element
+                # index (same order as [n, *n.iter_desc()], no recursion)
+                for parent in [n, *_desc_candidates(n, "*")]:
                     cands = [
                         c for c in parent.children if _node_test(c, st.test)
                     ]
                     if cands:
                         nxt.extend(_apply_preds(cands, st.preds))
+            cur = nxt
+        elif st.axis == "desc":
+            # indexed descendant scan (document-order bisect, no tree walk)
+            preds = st.preds
+            for n in cur:
+                if not isinstance(n, Node):
+                    continue
+                cands = _desc_candidates(n, st.test)
+                nxt.extend(_apply_preds(cands, preds) if preds else cands)
             cur = nxt
         else:
             for n in cur:
@@ -429,15 +538,18 @@ def _eval_steps(context, steps):
                 ]
                 nxt.extend(_apply_preds(cands, st.preds))
             cur = nxt
-        # dedupe preserving order (descendant axis from multiple contexts)
-        seen = set()
-        uniq = []
-        for c in cur:
-            k = id(c)
-            if k not in seen:
-                seen.add(k)
-                uniq.append(c)
-        cur = uniq
+        # dedupe preserving order (duplicates only possible when multiple
+        # context nodes overlap — e.g. nested contexts on a descendant
+        # axis or siblings' parent; a single context can't produce them)
+        if multi_ctx:
+            seen = set()
+            uniq = []
+            for c in cur:
+                k = id(c)
+                if k not in seen:
+                    seen.add(k)
+                    uniq.append(c)
+            cur = uniq
     return cur
 
 
