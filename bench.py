@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_topk",
+    "embedding_neardup",
     "embedding_ann_ivf",
+    "geocode_enrich",
     "text_stats",
     "doc_fingerprint",
     "url_normalize",

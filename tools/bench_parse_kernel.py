@@ -50,8 +50,15 @@ def _load_tables(fix):
 
 
 def _worker(args):
-    """Parse one chunk of seeds; load cost excluded from compute wall."""
-    fix, seed_chunk = args
+    """Parse one chunk of seeds; load cost excluded from compute wall.
+
+    All workers rendezvous on a barrier AFTER loading and BEFORE the timed
+    compute, so the measured windows fully overlap — without it, staggered
+    parquet loads mean worker k computes while worker j still loads, and
+    ``max(per-worker wall)`` under-measures the true concurrent wall
+    (observed as a spurious super-linear "efficiency" once the parse
+    kernel got fast enough that load jitter rivaled compute)."""
+    fix, seed_chunk, barrier, q = args
     import pyarrow.parquet as pq
 
     from scrapy_crawler_german_real_estate_sites_spark.plans.simulator import (
@@ -66,16 +73,24 @@ def _worker(args):
     seeds, stadte = _load_tables(fix)
     by_id = {s["seed_id"]: s for s in seeds}
     chunk = [by_id[sid] for sid in seed_chunk]
+    barrier.wait()
     t0 = time.time()
     res = simulate(pages_map, chunk, stadte, hour=7)
     dt = time.time() - t0
-    return len(res.fetch_order), dt
+    q.put((len(res.fetch_order), dt))
 
 
 def run_level(fix, seed_ids, workers):
     chunks = [seed_ids[i::workers] for i in range(workers)]
-    with multiprocessing.Pool(workers) as pool:
-        out = pool.map(_worker, [(fix, c) for c in chunks])
+    barrier = multiprocessing.Barrier(workers)
+    q = multiprocessing.Queue()
+    ps = [
+        multiprocessing.Process(target=_worker, args=((fix, c, barrier, q),))
+        for c in chunks
+    ]
+    [p.start() for p in ps]
+    out = [q.get() for _ in ps]
+    [p.join() for p in ps]
     fetched = sum(f for f, _ in out)
     wall = max(d for _, d in out)  # compute-only window, load excluded
     return {"workers": workers, "fetched": fetched,
@@ -98,7 +113,9 @@ def main():
     payload = {"levels": {str(k): v for k, v in results.items()},
                "kernel_eff": round(eff, 3), "n_seeds": len(seed_ids),
                "sf": os.path.basename(os.path.normpath(SF_DIR))}
-    out_path = os.path.join(REPO, "BENCH", "kernel_calib.json")
+    out_path = os.path.join(
+        REPO, "BENCH", f"kernel_calib_{min(LEVELS)}_{max(LEVELS)}.json"
+    )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)

@@ -130,7 +130,7 @@ def run_parent() -> None:
     # caller saved it to BENCH/kernel_calib.json (same parse kernel, zero
     # framework — the tightest bound any engine can hit on this box)
     kernel = None
-    kpath = os.path.join(REPO, "BENCH", "kernel_calib.json")
+    kpath = os.path.join(REPO, "BENCH", f"kernel_calib_{lo}_{hi}.json")
     if os.path.exists(kpath):
         with open(kpath) as f:
             kernel = json.load(f)
