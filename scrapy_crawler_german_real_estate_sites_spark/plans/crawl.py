@@ -231,8 +231,13 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                 process_seed(g, out)
             yield pd.DataFrame(out)
 
+    # explicit width: 2 tasks/core levels pipeline stragglers, while the
+    # checkpointed output stays narrow enough that the downstream
+    # maintenance jobs (state collect, dedup anti-join, frontier window)
+    # don't inherit the parse phase's 4x-core task fan-out
+    n_parts = 2 * parsed.sparkSession.sparkContext.defaultParallelism
     return (
-        parsed.repartition("seed_id")
+        parsed.repartition(n_parts, "seed_id")
         .sortWithinPartitions("seed_id", "fifo_seq")
         .mapInPandas(run, PASS_SCHEMA)
     )
@@ -490,9 +495,18 @@ class CrawlEngine:
             parsed, state_snap_bc, self._stadte_by_id, self.run_ts
         ).localCheckpoint(eager=True)
         state_snap_bc.unpersist(blocking=False)
-        # small-job phase: state aggregates + frontier maintenance plan at
-        # 1 task/core (see note above)
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+        # small-job phase: state aggregates + frontier maintenance.  Width
+        # is DATA-sized, not core-sized: these jobs shuffle O(100k) narrow
+        # rows (frontier urls, state records), where per-task launch +
+        # python round-trip overhead dominates past ~16 tasks — measured
+        # at local[32] the frontier/state/seen stages cost 57/23/13s at 32
+        # partitions vs 28/10/2s at 8 (same data).  On a real cluster the
+        # equivalent is sizing maintenance-stage partitions by bytes (AQE
+        # advisory size), not by fleet width; the parse stage above stays
+        # core-sized because its cost is per-row python, not per-task.
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(cores, 8))
+        )
         _mark('parse')
 
         # --- state update + per-partition lineage stats + inserted URLs:
