@@ -770,6 +770,116 @@ def q_alerts(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure + keep-one over the MinHash-LSH pair graph
+    (operators/cluster.py, alternating large-star/small-star): every doc in
+    ≥1 near-dup pair labeled with its cluster's min doc_id; the min is the
+    canonical keeper.  Oracle: DuckDB recursive-CTE reachability over the
+    same pair set."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.cluster import (
+        dedup_clusters,
+    )
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs, threshold=0.1)
+    return dedup_clusters(docs, pairs)
+
+
+# reachability closure over the minhash pair set (the inner WITH…SELECT is
+# SQL_MINHASH_LSH verbatim); cluster id = min reachable node (incl. self)
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS cluster_id,
+       (u = least(u, min(v))) AS is_canonical
+FROM reach GROUP BY u
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters (functions/textops.py:
+    repetition_stats): duplicate-word fraction, most-frequent-bigram mass,
+    duplicate-5-gram mass — the boilerplate/template-spam signals a
+    training-data pipeline gates on."""
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+base AS (SELECT doc_id, len(tk) AS n_words, len(list_distinct(tk)) AS n_distinct
+         FROM t),
+g2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+       FROM t, unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS s(i)),
+bi AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+top AS (SELECT doc_id, g AS top_bigram, cnt AS top_cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        FROM bi),
+g5 AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+       FROM t, unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS s(i)),
+f5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g),
+d5 AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * 5 ELSE 0 END) AS dup5_mass
+       FROM f5 GROUP BY doc_id)
+SELECT b.doc_id AS doc_id, b.n_words AS n_words,
+       round(1.0 - b.n_distinct * 1.0 / b.n_words, 6) AS dup_word_frac,
+       top.top_bigram AS top_bigram,
+       round(top.top_cnt * 2.0 / b.n_words, 6) AS top_bigram_frac,
+       round(d5.dup5_mass * 1.0 / b.n_words, 6) AS dup_5gram_frac
+FROM base b
+JOIN top ON top.doc_id = b.doc_id AND top.rn = 1
+JOIN d5 ON d5.doc_id = b.doc_id
+"""
+
+
+BM25_QUERY_TERMS = ["spark", "merge", "vector"]
+BM25_K = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-k lexical search (operators/search.py): postings-list
+    dataflow — explode filtered to the query terms pre-shuffle, broadcast
+    IDF + corpus scalars, TakeOrderedAndProject top-k."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.search import (
+        bm25_topk,
+    )
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=BM25_K)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted(BM25_QUERY_TERMS))
+SQL_BM25 = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM t),
+posts AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM t),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM posts
+       WHERE term IN ({_BM25_IN}) GROUP BY doc_id, dl, term),
+idf AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats)
+SELECT doc_id,
+       round(sum(idf * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+FROM tf JOIN idf USING (term), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -795,6 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "text_repetition": q_text_repetition,
+        "bm25_search": q_bm25_search,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -835,6 +948,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
         "dedup_simhash": SQL_SIMHASH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "bm25_search": SQL_BM25,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         # embedding_ann_ivf: iterative Lloyd refinement — rows-only

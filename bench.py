@@ -32,11 +32,14 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "embedding_topk",
     "embedding_neardup",
     "embedding_ann_ivf",
     "geocode_enrich",
     "text_stats",
+    "text_repetition",
+    "bm25_search",
     "doc_fingerprint",
     "url_normalize",
     "multimodal_stub",

@@ -95,6 +95,88 @@ def quality_score(text):
     )
 
 
+def word_ngrams_col(text, n):
+    """Word n-grams (with multiplicity — unlike dedup's distinct shingles,
+    repetition metrics need occurrence counts)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def repetition_stats(docs, id_col="doc_id", text_col="text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1:
+    "fraction of characters in the most frequent n-gram" / "in duplicate
+    n-grams") adapted to word-mass fractions over this corpus's
+    newline-free docs:
+
+    * ``dup_word_frac``   — 1 − distinct words / words (vocabulary collapse);
+    * ``top_bigram`` / ``top_bigram_frac`` — the most frequent word 2-gram
+      and the fraction of word positions it covers (count·2 / words);
+      boilerplate/templated spam spikes this;
+    * ``dup_5gram_frac``  — word mass inside 5-grams occurring more than
+      once (count·5 / words, the "duplicate n-grams" signal).
+
+    Shape at scale: three map-side-combinable groupBys keyed by
+    (doc_id[, gram]) — hash-uniform, skew bounded by a single document's
+    own n-gram multiset — then a broadcast-free join back on doc_id.  The
+    per-doc-quadratic higher-order-function alternative (count each gram
+    by filtering the array) avoids the shuffles but is O(len²) per doc —
+    wrong trade at 100 TB where docs reach 10^6 tokens.  Top-gram
+    tie-break is deterministic: max count, then lexicographic gram."""
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
+    toks = F.split(F.trim(F.lower(F.col("txt"))), r"\s+")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        word_ngrams_col(F.col("txt"), 2).alias("g2"),
+        word_ngrams_col(F.col("txt"), 5).alias("g5"),
+    )
+    bi = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g"))
+    top_bi = (
+        bi.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("g").alias("top_bigram"), F.col("cnt").alias("top_cnt"))
+    )
+    dup5 = (
+        base.select("doc_id", F.explode("g5").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * 5).otherwise(0)).alias(
+                "dup5_mass"
+            )
+        )
+    )
+    return (
+        base.select("doc_id", "n_words", "n_distinct")
+        .join(top_bi, "doc_id")
+        .join(dup5, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            "top_bigram",
+            F.round(F.col("top_cnt") * 2.0 / F.col("n_words"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("dup5_mass") / F.col("n_words"), 6).alias("dup_5gram_frac"),
+        )
+    )
+
+
 def fingerprint(text, n=5):
     """Document fingerprint: md5 of whitespace-normalized text, plus a
     winnowing-style min-shingle-hash (robust to small edits)."""

@@ -1,0 +1,140 @@
+"""Duplicate-cluster resolution: connected components over near-dup pairs.
+
+Pair generators (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine, ``operators/dedup.py``) emit EDGES; a production dedup
+pipeline then needs the transitive closure — "A≈B and B≈C means A,B,C are
+one document" — and a canonical keep-one-per-cluster choice.  This module
+supplies that closure as ``connected_components`` plus the keep-rule
+``dedup_clusters``.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC'14) — the
+standard shuffle-bounded formulation for MapReduce/Spark:
+
+* large-star: every node connects its strictly-larger neighbors to the
+  minimum of its closed neighborhood;
+* small-star: edges are oriented big→small and every node connects its
+  not-larger neighbors (and itself) to its minimum neighbor.
+
+Each round is one groupBy-min + one join on the same key (one exchange,
+reused), edge multiplicity is bounded by the input size, and the
+iteration count is O(log² n) — versus O(diameter) for naive label
+propagation, which on chain-shaped clusters (common in near-dup graphs:
+A≈B≈C≈… under a fixed threshold) degenerates to hundreds of rounds at
+web scale.  Per-round ``localCheckpoint`` truncates the logical plan —
+without it the iterative lineage grows exponentially and Catalyst
+planning time dominates after ~10 rounds.
+
+The driver-side loop is O(rounds) with one tiny 2-value action per round
+(count + xxhash64 checksum for the fixpoint test); no per-row driver
+state.  At 10^10 edges every stage is a hash-uniform shuffle on node
+ids — no skew hazard beyond a hot node's own degree, which large-star
+specifically shrinks each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Edge-set canonical form: (u > v), no self-loops, distinct."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sig(e: DataFrame):
+    """(count, order-independent checksum) fixpoint signature — one tiny
+    aggregate job instead of a full exceptAll anti-join per round."""
+    # decimal(38,0) sum domain: a long-domain sum of xxhash64 values
+    # overflows (ANSI mode raises ARITHMETIC_OVERFLOW)
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # symmetric neighborhoods; m(u) = min(Γ(u) ∪ {u})
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return _canon(
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # edges arrive canonical (u > v); m(u) = min over smaller neighbors
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    moved = e.join(mins, "u").select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    kept = mins.select("u", F.col("mn").alias("v"))
+    return _canon(moved.unionByName(kept))
+
+
+def connected_components(
+    pairs: DataFrame, id_a="id_a", id_b="id_b", max_iter=50
+) -> DataFrame:
+    """Labels every node appearing in ``pairs`` with its component's
+    minimum node id.  Returns (id, component).
+
+    ``pairs`` is an undirected edge list (duplicate pairs); direction and
+    duplicates don't matter.  Converges when the canonical edge set is a
+    fixpoint of small-star∘large-star — at that point the edges form
+    stars (child → component minimum).
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    e = _canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+    prev = _sig(e)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _sig(nxt)
+        e = nxt
+        if cur == prev:
+            break
+        prev = cur
+    # stars: every non-root points at its root; roots label themselves
+    return (
+        nodes.join(
+            e.select(F.col("u").alias("id"), F.col("v").alias("component")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col="doc_id",
+    id_a="id_a", id_b="id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster resolution: (doc_id, cluster_id, is_canonical)
+    for every doc that participates in at least one duplicate pair.
+    ``is_canonical`` marks the cluster's keeper (minimum doc id — the
+    deterministic keep-rule production dedup pipelines use so re-runs and
+    incremental batches pick the same survivor).  Docs with no pair are
+    implicitly canonical singletons and are not emitted."""
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -131,3 +131,48 @@ def test_min_shingle_fp_robust_to_tail_edit(spark):
     _, want2 = py_fingerprint(edited)
     assert (r1.min_shingle_fp, r2.min_shingle_fp) == (want1, want2)
     assert want1 == want2
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+def py_repetition(text):
+    words = text.strip().lower().split()
+    n = len(words)
+    grams = lambda k: [
+        " ".join(words[i:i + k]) for i in range(max(len(words) - k, 0) + 1)
+    ]
+    bi = {}
+    for g in grams(2):
+        bi[g] = bi.get(g, 0) + 1
+    top = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    g5 = {}
+    for g in grams(5):
+        g5[g] = g5.get(g, 0) + 1
+    dup5 = sum(c * 5 for c in g5.values() if c > 1)
+    return {
+        "n_words": n,
+        "dup_word_frac": round(1.0 - len(set(words)) / n, 6),
+        "top_bigram": top[0],
+        "top_bigram_frac": round(top[1] * 2.0 / n, 6),
+        "dup_5gram_frac": round(dup5 / n, 6),
+    }
+
+
+def test_repetition_stats_known_answers(spark):
+    texts = [
+        "a b a b a b c",                      # heavy bigram repeat, no 5-gram dup
+        "x y z w v x y z w v x y z w v",      # repeated 5-gram block
+        "all distinct words here now",        # clean doc
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = {r.doc_id: r.asDict() for r in tx.repetition_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        want = py_repetition(t)
+        got = {k: rows[i][k] for k in want}
+        assert got == want, f"doc {i}: {got} != {want}"
+    # sanity of the signals themselves
+    assert rows[0]["top_bigram_frac"] > 0.8 and rows[0]["dup_5gram_frac"] == 0.0
+    assert rows[1]["dup_5gram_frac"] > 3.0  # overlapping repeats stack mass
+    assert rows[2]["dup_word_frac"] == 0.0
