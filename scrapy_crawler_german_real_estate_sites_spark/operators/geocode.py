@@ -30,14 +30,21 @@ from pyspark.sql import functions as F
 def resolve_suburb_stadtid(geocache: DataFrame, stadte: DataFrame) -> DataFrame:
     """(address, lat, lon, suburb, stadtid) for every geocache row whose
     suburb appears in some city's stadtviertel list (inner join: the
-    reference helper returns nothing for unknown suburbs)."""
+    reference helper returns nothing for unknown suburbs).
+
+    The membership predicate is normalized to an EQUI-join by exploding
+    the dim's stadtviertel lists into (stadtid, suburb) rows: an
+    ``array_contains`` theta-join can only plan as a broadcast
+    nested-loop (every fact row scans every city), while the exploded dim
+    hash-joins — same tiny broadcast, O(1) probe per fact row."""
     st = F.broadcast(
-        stadte.select(F.col("id").alias("stadtid"), "stadtviertel")
+        stadte.select(
+            F.col("id").alias("stadtid"),
+            F.explode("stadtviertel").alias("suburb"),
+        )
     )
     return (
-        geocache.join(
-            st, F.array_contains(F.col("stadtviertel"), F.col("suburb")), "inner"
-        )
+        geocache.join(st, "suburb", "inner")
         .groupBy("address", "lat", "lon", "suburb")
         .agg(F.min("stadtid").cast("long").alias("stadtid"))
     )

@@ -1,0 +1,123 @@
+"""Physical-plan shape assertions — the 100 TB guardrails.
+
+Correctness is covered by the oracle gate and the parity suites; these
+tests pin the PLAN properties that make each query viable at scale, so a
+refactor that silently turns a hash join into a nested loop, un-pushes a
+scan filter, or drops a top-k into a full global sort fails CI instead of
+failing a cluster.
+
+Checked over the formatted explain string (pre-execution plan — explicit
+broadcast hints and scan pushdown are visible there; AQE runtime rewrites
+only improve on it):
+
+* no ``CartesianProduct`` anywhere, ever;
+* ``BroadcastNestedLoopJoin`` only where a designed scalar/exact-baseline
+  broadcast exists (whitelist with reasons);
+* dedup/LSH self-joins are bucketed equi-joins, never all-pairs;
+* scan-level filter pushdown where the query filters the fact table;
+* top-k queries plan as ``TakeOrderedAndProject`` (per-partition heaps),
+  not a global ``Sort``+limit;
+* rank-then-filter windows use ``WindowGroupLimit`` (Spark 3.5+ group-
+  limit pushdown);
+* every oracle-backed relational query is UDF-free (no python eval nodes).
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+# queries that legitimately broadcast-nested-loop:
+BNLJ_OK = {
+    # 1-row corpus-scalar (N, avgdl) broadcast riding a cross join
+    "bm25_search",
+    # exact brute-force baseline: broadcast query set × corpus by design
+    "embedding_topk",
+}
+
+# iterative / crawl-driving queries: plan shape covered by the engine's
+# own tests, running them here would execute a full crawl
+SKIP = {"crawl_listings", "alerts", "embedding_ann_ivf", "dedup_clusters"}
+
+PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas")
+
+
+def _plan(spark, name):
+    df = E.queries()[name](spark, SF)
+    jvm = df._sc._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: _plan(spark, name)
+        for name in E.queries()
+        if name not in SKIP
+    }
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian products in: {bad}"
+
+
+def test_nested_loop_joins_only_where_designed(plans):
+    bad = [
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert not bad, f"unexpected nested-loop joins in: {bad}"
+
+
+def test_relational_queries_are_udf_free(plans):
+    bad = [
+        n for n, p in plans.items()
+        if any(node in p for node in PY_EVAL_NODES)
+    ]
+    assert not bad, f"python eval nodes in: {bad}"
+
+
+@pytest.mark.parametrize("name", ["retention_candidates", "viertel_index",
+                                  "embedding_neardup", "liveness_gone"])
+def test_scan_filters_pushed(plans, name):
+    assert re.search(r"PushedFilters: \[[^\]]", plans[name]), (
+        f"{name}: no pushed filters reach the parquet scan"
+    )
+
+
+@pytest.mark.parametrize("name", ["sorted_scan_limit", "bm25_search"])
+def test_topk_is_take_ordered(plans, name):
+    assert "TakeOrderedAndProject" in plans[name], (
+        f"{name}: top-k fell back to a global sort"
+    )
+
+
+@pytest.mark.parametrize("name", ["top_orders_per_cust", "text_repetition"])
+def test_rank_filter_uses_window_group_limit(plans, name):
+    assert "WindowGroupLimit" in plans[name], (
+        f"{name}: rank<=k filter not pushed into the window (group limit)"
+    )
+
+
+def test_lsh_joins_are_bucketed_equi_joins(plans):
+    # the near-dup suite must candidate via bucket equi-joins; a nested
+    # loop or cartesian here is the quadratic-all-pairs regression
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
+                 "dedup_ngram_jaccard"):
+        p = plans[name]
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+            f"{name}: LSH candidate generation degenerated to all-pairs"
+        )
+
+
+def test_geocode_dim_join_is_hash_join(plans):
+    # array_contains theta-join would plan BNLJ; the exploded dim must
+    # keep this a broadcast hash join
+    assert "BroadcastHashJoin" in plans["geocode_enrich"]
+    assert "BroadcastNestedLoopJoin" not in plans["geocode_enrich"]
