@@ -517,10 +517,19 @@ class CrawlEngine:
             ~F.col("kind").isin("__state__", "__item__")
         )
         item_rows = passed.where(F.col("kind") == "__item__")
+        # non-eager localCheckpoint: the state job below (bloom shards)
+        # computes this aggregation anyway and materializes the NARROW
+        # (url, seed_id, fifo_seq) rows as blocks as a side effect — the
+        # lazy seen-union then roots in those blocks instead of re-running
+        # this groupBy over the WIDE checkpointed pass rows (item_json /
+        # doc_json strings) in every later frontier job until the next
+        # fold.  Measured: the unfolded-seen waves' frontier job dropped
+        # from ~10s to ~wave-minimum at sf0.1.
         inserts = (
             item_rows.where(F.col("seen_url").isNotNull())
             .groupBy(F.col("seen_url").alias("url"), "seed_id")
             .agg(F.min("fifo_seq").alias("fifo_seq"))
+            .localCheckpoint(eager=False)
         )
         state_rows = passed.where(F.col("kind") == "__state__").select(
             F.lit("state").alias("rec"), "seed_id", "doc_json",
