@@ -7,13 +7,21 @@ relevance framework — the Okapi formulation) is the standard.
 
 Shape at scale (the inverted-index dataflow, expressed relationally):
 
-* tokenize → explode is filtered to the query terms BEFORE any shuffle —
-  the per-(doc, term) aggregation only ever shuffles rows matching the
-  handful of query terms, i.e. the postings lists, not the corpus;
+* ONE corpus pass: tokenize, take the doc length, and keep only the
+  query-term hits via an array-level ``F.filter`` — the explode then
+  generates |postings| rows, not |corpus tokens| rows (Catalyst cannot
+  hoist a post-explode ``isin`` above the Generate, so filtering inside
+  the array is the difference between shuffling the postings lists and
+  materializing every token in the corpus);
+* that narrow (doc_id, dl, hits) relation is lazily checkpointed so the
+  corpus-scalar aggregate and the scoring job share the scan instead of
+  re-tokenizing per consumer;
+* corpus scalars (N, avgdl) are a 1-row aggregate collected to the
+  driver and folded in as literals — on a cluster this is a single-row
+  action, vs. rebuilding a broadcast (and re-running its whole subtree)
+  at every use site;
 * term statistics (document frequency → IDF) are a |Q|-row relation,
   broadcast to the scoring join;
-* corpus scalars (N, avgdl) ride the same broadcast (cross join of a
-  1-row aggregate) — no driver round-trip;
 * the final top-k is a global sort of per-doc scores LIMIT k — Spark
   plans this as TakeOrderedAndProject (per-partition heaps + driver
   merge), not a full sort.
@@ -36,49 +44,44 @@ def bm25_topk(
     ``query_terms``.  Returns (doc_id, score) — score desc, doc_id asc
     (deterministic total order after round-6)."""
     terms = sorted(set(t.lower() for t in query_terms))
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
-    toks = F.split(F.trim(F.lower(F.col("txt"))), r"\s+")
-    base = d.select("doc_id", toks.alias("toks"))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    # one corpus pass: doc length + query-term hits only (filter INSIDE the
+    # array, so explode never generates the non-matching tokens); lazily
+    # checkpointed so the stats aggregate and the scoring job share it
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(terms_arr, t)).alias("hits"),
+    ).localCheckpoint(eager=False)
 
-    # corpus scalars: one row, broadcast into every consumer
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size("toks")).alias("avgdl"),
-    )
+    # corpus scalars: a 1-row aggregate — collect once, fold in as literals
+    n_docs, avgdl = per_doc.agg(F.count("*"), F.avg("dl")).first()
+    nd, av = F.lit(n_docs), F.lit(float(avgdl))
 
-    # postings: explode, filter to query terms pre-shuffle, per-(doc,term) tf
+    # postings: per-(doc, term) tf over the pre-filtered hits
     tf = (
-        base.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-        .where(F.col("term").isin(terms))
+        per_doc.where(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
 
     # document frequency → Robertson-Spärck-Jones IDF (the +1 variant,
     # always positive): ln((N - df + 0.5) / (df + 0.5) + 1)
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = (
-        df_.crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ).alias("idf"),
-        )
+    idf = tf.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term",
+        F.log((nd - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
     )
 
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             (
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                )
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / av))
             ).alias("s"),
         )
         .groupBy("doc_id")
