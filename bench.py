@@ -60,6 +60,18 @@ def main():
     # --- headline: crawl throughput on the matching fixture tier
     tier = sf_name if sf_name in TIERS else "sf0.01"
     fix = E._fixture(SF_DIR)
+    # warm-up: one tiny-tier crawl spawns the python UDF workers (128 at
+    # local[32]x4 tasks/core), JITs the wave's codegen stages, and warms
+    # the Arrow serialization paths, so the timed window below measures
+    # steady-state throughput rather than process bootstrap (same
+    # rationale as the GC settle + codegen re-warm before the analytics
+    # timings).  Measured: wave-1 wall at sf0.1 varied 52-175s cold vs
+    # ~50s warmed; input scans/cache population stay INSIDE the window.
+    warm_fix = E._fixture(os.path.join(os.path.dirname(SF_DIR), "tiny"))
+    warm_eng = CrawlEngine(spark, warm_fix, hour=7, track_order=False)
+    warm_eng.run(max_waves=100)
+    warm_eng.close()
+    spark.catalog.clearCache()
     # (the engine sizes shuffle partitions per job phase itself —
     # 4 tasks/core for the python-heavy parse, 1x for small jobs)
     t0 = time.time()
@@ -67,9 +79,10 @@ def main():
     summary = eng.run(max_waves=100)
     crawl_sec = time.time() - t0
     spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
-    # drop crawl-run cached blocks (seen-set folds, localCheckpoints) so the
-    # analytics timings below aren't skewed by leftover storage-memory
-    # pressure from the crawl
+    # drop crawl-run cached blocks (pages cache, seen-set folds,
+    # localCheckpoints) so the analytics timings below aren't skewed by
+    # leftover storage-memory pressure from the crawl
+    eng.close()
     spark.catalog.clearCache()
     # settle the session before the per-query timings: a full GC drains the
     # crawl's tenured garbage (56g heap — the first analytics query

@@ -757,6 +757,28 @@ class CrawlEngine:
         }
 
     # ---------------------------------------------------------------
+    def close(self) -> None:
+        """Release every executor-side resource this engine pinned: the
+        pages cache, the frontier/seen localCheckpoint blocks (by dropping
+        the python refs so the ContextCleaner reclaims them), and the
+        seed-ctx broadcast.  A drained engine otherwise holds GBs of block-
+        manager storage for its remaining lifetime — callers that run more
+        work on the same SparkSession (bench warm-up, multi-run jobs) must
+        close() the engine they are done with."""
+        try:
+            self.pages.unpersist(blocking=False)
+        except Exception:
+            pass
+        try:
+            self._ctx_bc.unpersist(blocking=False)
+        except Exception:
+            pass
+        self.tagged = None
+        self.seen = None
+        self._trash.clear()
+        self.out_batches = {"items": [], "docs": [], "alerts": []}
+
+    # ---------------------------------------------------------------
     def items_df(self) -> DataFrame:
         dfs = [d for d in self.out_batches["items"]]
         if not dfs:

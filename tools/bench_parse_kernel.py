@@ -35,6 +35,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_KERNEL_SEEDS", "8000"))
 LEVELS = [int(x) for x in
           os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")]
+# best-of-N per level, matching bench_scaling.py: this box is a shared-host
+# VM whose effective CPU/bandwidth varies run-to-run (observed 2-3x swings
+# minutes apart); contention noise is one-sided (it only ever slows a run
+# down), so max-over-repeats estimates the uncontended capability at each
+# level and keeps the efficiency ratio from mixing two contention eras.
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
 
 
 def _fixture_dir():
@@ -104,8 +110,13 @@ def main():
     seed_ids = [s["seed_id"] for s in seeds][:N_SEEDS]
     results = {}
     for w in LEVELS:
-        results[w] = run_level(fix, seed_ids, w)
-        print(f"kernel x{w}: {results[w]}", file=sys.stderr)
+        best = None
+        for _ in range(REPEATS):
+            r = run_level(fix, seed_ids, w)
+            print(f"kernel x{w}: {r}", file=sys.stderr)
+            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+                best = r
+        results[w] = best
     lo, hi = min(LEVELS), max(LEVELS)
     eff = results[hi]["urls_per_sec"] / (
         (hi / lo) * results[lo]["urls_per_sec"]
