@@ -284,6 +284,38 @@ FROM read_parquet('{_fp("seeds")}')
 """
 
 
+def q_lang_freshness(spark, sf_dir):
+    """Input-contract rollup over the north-rule pages shape
+    (BASELINE.json:input_hint — url, warc_ts, html, text, lang): per-lang
+    page count, capture-window bounds, and distinct-host breadth.  A
+    Common-Crawl-style recrawl scheduler reads exactly this to decide
+    which language shards are stale.  Map-side-combinable groupBy on a
+    low-cardinality key — scale-safe (distinct netloc via a two-level
+    exact count: the inner distinct shuffles (lang, netloc) pairs, which
+    are bounded by langs x hosts, not pages)."""
+    p = _fx(spark, sf_dir, "pages").select(
+        "lang", "warc_ts",
+        F.regexp_extract("url", _NETLOC_RE, 1).alias("netloc"),
+    )
+    return p.groupBy("lang").agg(
+        F.count("*").alias("pages"),
+        F.min("warc_ts").alias("first_capture"),
+        F.max("warc_ts").alias("last_capture"),
+        F.countDistinct("netloc").alias("hosts"),
+    )
+
+
+SQL_LANG_FRESHNESS = f"""
+SELECT lang, count(*) AS pages,
+       min(warc_ts) AS first_capture,
+       max(warc_ts) AS last_capture,
+       CAST(count(DISTINCT regexp_extract(url, '^https?://([^/]+)', 1))
+            AS BIGINT) AS hosts
+FROM read_parquet('{_fp("pages")}')
+GROUP BY lang
+"""
+
+
 def q_politeness_window(spark, sf_dir):
     # P1: per-netloc token bucket as a window prefix (first 5 by capture ts)
     p = _fx(spark, sf_dir, "pages")
@@ -895,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "frontier_init": q_frontier_init,
         "politeness_window": q_politeness_window,
+        "lang_freshness": q_lang_freshness,
         "viertel_index": q_viertel_index,
         "liveness_gone": q_liveness_gone,
         "robots_filter": q_robots_filter,
@@ -938,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": SQL_URL_NORMALIZE,
         "frontier_init": SQL_FRONTIER_INIT,
         "politeness_window": SQL_POLITENESS,
+        "lang_freshness": SQL_LANG_FRESHNESS,
         "viertel_index": SQL_VIERTEL,
         "liveness_gone": SQL_LIVENESS,
         "robots_filter": SQL_ROBOTS,
