@@ -121,3 +121,43 @@ def test_geocode_dim_join_is_hash_join(plans):
     # keep this a broadcast hash join
     assert "BroadcastHashJoin" in plans["geocode_enrich"]
     assert "BroadcastNestedLoopJoin" not in plans["geocode_enrich"]
+
+
+def test_crawl_fetch_join_never_shuffles_pages(spark, fix_tiny):
+    """The engine's core scale invariant (north_rule: partitioning /
+    shuffle handled explicitly): the per-wave fetch is pages ⋈
+    broadcast(batch) — the wave batch is the BUILD side, the pages table
+    streams from its cache, and the ONLY hash exchange on pages is the
+    deliberate one-time cache layout (url-hash, REPARTITION_BY_NUM), never
+    a per-wave ENSURE_REQUIREMENTS shuffle of html bytes."""
+    from pyspark.sql import functions as F
+
+    from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import (
+        CrawlEngine,
+    )
+
+    eng = CrawlEngine(spark, fix_tiny, hour=7, track_order=False)
+    try:
+        batch = eng.tagged.where(F.col("sel")).select(
+            "seed_id", "fifo_seq", "url", "kind", "netloc", "meta", "depth"
+        )
+        fetched = eng.pages.join(F.broadcast(batch), "url", "inner")
+        jvm = fetched._sc._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        p = fetched._jdf.queryExecution().explainString(mode)
+    finally:
+        eng.close()
+
+    assert "BroadcastHashJoin" in p and "BuildRight" in p, (
+        "fetch join is not a broadcast hash join building the wave batch"
+    )
+    assert "InMemoryTableScan" in p, "pages no longer stream from the cache"
+    # column pruning reaches the parquet scan: the cache holds only what
+    # the parse needs, not the full north-rule page row
+    assert "ReadSchema: struct<url:string,html:binary>" in p
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning.*", p)
+    assert len(hash_exchanges) == 1 and "REPARTITION_BY_NUM" in hash_exchanges[0], (
+        f"pages picked up a per-wave shuffle: {hash_exchanges}"
+    )
