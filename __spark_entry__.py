@@ -749,6 +749,37 @@ FROM t
 
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/valid split audit, stratified by lang
+    (operators/sampling.py): the assignment is a pure md5-threshold
+    function of the salted doc_id — per-row independent (no shuffle),
+    stable under corpus growth, identical across engines; the audit
+    groupBy moves only (lang, split) partial counts."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        dataset_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dataset_split(d, valid_frac=0.05, strata_col="lang")
+
+
+def _sql_dataset_split():
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        split_threshold_hex,
+    )
+
+    thr = split_threshold_hex(0.05)
+    return f"""
+SELECT lang,
+       CASE WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{thr}'
+            THEN 'valid' ELSE 'train' END AS split,
+       count(*) AS docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def q_sitemap_cities(spark, sf_dir):
     # S10 (seoSitemap.py:6-76): sitemap entries for cities with >=10
     # districts; loc mirrors the reference's city-page URL template
@@ -946,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "dataset_split": q_dataset_split,
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
     }
@@ -990,5 +1022,6 @@ def oracle_sql() -> dict[str, str]:
         # embedding_ann_ivf: iterative Lloyd refinement — rows-only
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
+        "dataset_split": _sql_dataset_split(),
         "sitemap_cities": SQL_SITEMAP,
     }

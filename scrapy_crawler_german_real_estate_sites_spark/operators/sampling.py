@@ -1,0 +1,64 @@
+"""Deterministic dataset splitting / sampling for training-data curation.
+
+A training pipeline over a 100 TB corpus needs splits that are:
+
+* **per-row independent** — no shuffle, no global sort, no state: the
+  split of a document is a pure function of its id, so the assignment is
+  embarrassingly parallel and identical no matter how the corpus is
+  partitioned, re-partitioned, or re-read;
+* **stable under growth** — adding documents never moves an existing
+  document between splits (hash threshold, not modulo-of-rank);
+* **auditable** — the realized per-stratum proportions are one
+  map-side-combinable aggregation away.
+
+``split_col`` hashes a salted id with md5 and compares the first 8 hex
+chars (32 bits, uniform under md5) against the valid-fraction threshold.
+md5 is identical across Spark, DuckDB, and python's hashlib, which keeps
+the assignment oracle-checkable byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of the md5 — uniform on [0, 2^32)
+_BUCKETS = 1 << 32
+
+
+def split_threshold_hex(valid_frac: float) -> str:
+    """The 8-hex-digit threshold below which a row is 'valid'."""
+    if not 0.0 <= valid_frac <= 1.0:
+        raise ValueError(f"valid_frac must be in [0,1], got {valid_frac}")
+    return format(int(valid_frac * _BUCKETS), "08x")
+
+
+def split_col(id_col, valid_frac: float, salt: str = "split-v1") -> Column:
+    """'train' / 'valid' assignment as a pure column expression.
+
+    The salt namespaces the split: a different salt draws an independent
+    split from the same ids (e.g. one for valid, one for test), and
+    versioning the salt re-rolls the assignment on purpose — never by
+    accident."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return F.when(
+        F.substring(h, 1, 8) < F.lit(split_threshold_hex(valid_frac)),
+        F.lit("valid"),
+    ).otherwise(F.lit("train"))
+
+
+def dataset_split(
+    docs: DataFrame,
+    valid_frac: float = 0.05,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Per-stratum split audit: (stratum, split, docs) counts.
+
+    The assignment itself is row-local (no shuffle); the only exchange is
+    the audit groupBy on (stratum, split) — cardinality = strata x 2, so
+    the shuffle moves partial counts, never rows."""
+    s = docs.withColumn("split", split_col(id_col, valid_frac, salt))
+    key = [strata_col, "split"] if strata_col else ["split"]
+    return s.groupBy(*key).agg(F.count("*").alias("docs"))

@@ -1,0 +1,93 @@
+"""Deterministic dataset splitting (operators/sampling.py): the split
+must be a pure function of the salted id (stable, partition-invariant),
+proportions must track the requested fraction, and different salts must
+draw independent assignments."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+    dataset_split,
+    split_col,
+    split_threshold_hex,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_assignment_matches_reference_hash(spark, docs):
+    """Spark's assignment equals a plain-python md5 reimplementation —
+    the engine-independence the DuckDB oracle also relies on."""
+    rows = (
+        docs.withColumn("split", split_col("doc_id", 0.1))
+        .where(F.col("doc_id") < 500)
+        .collect()
+    )
+    thr = split_threshold_hex(0.1)
+    for r in rows:
+        h = hashlib.md5(f"split-v1:{r.doc_id}".encode()).hexdigest()[:8]
+        assert r.split == ("valid" if h < thr else "train"), r
+
+
+def test_split_is_partition_invariant(spark, docs):
+    a = docs.withColumn("s", split_col("doc_id", 0.07))
+    b = docs.repartition(17, "lang").withColumn("s", split_col("doc_id", 0.07))
+    assert a.join(b, "doc_id").where(a["s"] != b["s"]).count() == 0
+
+
+def test_split_is_stable_under_growth(spark, docs):
+    """Adding documents never moves an existing one between splits."""
+    small = docs.where(F.col("doc_id") < 5000)
+    before = dict(
+        small.withColumn("s", split_col("doc_id", 0.05))
+        .select("doc_id", "s").collect()
+    )
+    after = dict(
+        docs.withColumn("s", split_col("doc_id", 0.05))
+        .where(F.col("doc_id") < 5000)
+        .select("doc_id", "s").collect()
+    )
+    assert before == after
+
+
+def test_proportions_track_fraction_per_stratum(spark, docs):
+    audit = dataset_split(docs, valid_frac=0.1, strata_col="lang").collect()
+    per_lang = {}
+    for r in audit:
+        per_lang.setdefault(r.lang, {})[r.split] = r.docs
+    assert len(per_lang) == 4
+    for lang, counts in per_lang.items():
+        frac = counts.get("valid", 0) / (counts.get("valid", 0) + counts["train"])
+        # 5000 draws at p=0.1 — 4 sigma ≈ 0.017
+        assert abs(frac - 0.1) < 0.02, (lang, frac)
+
+
+def test_salts_draw_independent_splits(spark, docs):
+    joint = (
+        docs.select(
+            "doc_id",
+            (split_col("doc_id", 0.5, salt="a") == "valid").alias("va"),
+            (split_col("doc_id", 0.5, salt="b") == "valid").alias("vb"),
+        )
+        .agg(
+            F.avg(F.col("va").cast("double")).alias("pa"),
+            F.avg(F.col("vb").cast("double")).alias("pb"),
+            F.avg((F.col("va") & F.col("vb")).cast("double")).alias("pab"),
+        )
+        .collect()[0]
+    )
+    # independence: P(a∧b) ≈ P(a)·P(b); 20k draws → generous tolerance
+    assert abs(joint.pab - joint.pa * joint.pb) < 0.02, joint
+
+
+def test_bad_fraction_rejected():
+    with pytest.raises(ValueError):
+        split_threshold_hex(1.5)
