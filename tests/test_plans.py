@@ -157,7 +157,11 @@ def test_crawl_fetch_join_never_shuffles_pages(spark, fix_tiny):
     # column pruning reaches the parquet scan: the cache holds only what
     # the parse needs, not the full north-rule page row
     assert "ReadSchema: struct<url:string,html:binary>" in p
+    # the only hash exchanges allowed are the deliberate one-time cache
+    # layout (REPARTITION_BY_NUM; the formatted explain may list the
+    # cached relation's plan more than once when the cache is shared) —
+    # never a planner-inserted per-wave shuffle (ENSURE_REQUIREMENTS)
     hash_exchanges = re.findall(r"Arguments: hashpartitioning.*", p)
-    assert len(hash_exchanges) == 1 and "REPARTITION_BY_NUM" in hash_exchanges[0], (
-        f"pages picked up a per-wave shuffle: {hash_exchanges}"
-    )
+    assert hash_exchanges and all(
+        "REPARTITION_BY_NUM" in x for x in hash_exchanges
+    ), f"pages picked up a per-wave shuffle: {hash_exchanges}"
