@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "bm25_search",
     "doc_fingerprint",
+    "dataset_split",
+    "lang_freshness",
     "url_normalize",
     "multimodal_stub",
 ]
