@@ -809,8 +809,12 @@ _TINY_CRAWL = {}
 
 
 def _tiny_crawl(spark):
-    """One cached tiny-tier crawl shared by the crawl-derived queries."""
-    key = id(spark)
+    """One cached tiny-tier crawl shared by the crawl-derived queries.
+
+    Keyed by applicationId, not id(spark): id() can be reused after a
+    session is GC'd, which would hand a stale engine (freed block-manager
+    state) to a brand-new session."""
+    key = spark.sparkContext.applicationId
     if key not in _TINY_CRAWL:
         from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import CrawlEngine
         from scrapy_crawler_german_real_estate_sites_spark.sources.synth import generate

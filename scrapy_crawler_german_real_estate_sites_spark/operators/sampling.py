@@ -27,10 +27,17 @@ _BUCKETS = 1 << 32
 
 
 def split_threshold_hex(valid_frac: float) -> str:
-    """The 8-hex-digit threshold below which a row is 'valid'."""
+    """The 8-hex-digit threshold below which a row is 'valid'.
+
+    Clamped to the 8-hex-digit range: valid_frac=1.0 would otherwise
+    produce the 9-char string '100000000', which every 8-char md5 prefix
+    sorts *after* lexicographically — assigning only ~1/16 of rows to
+    'valid'. The clamp keeps the threshold at 'ffffffff'; the strict
+    ``<`` compare is widened to ``<=`` at exactly 1.0 by ``split_col``.
+    """
     if not 0.0 <= valid_frac <= 1.0:
         raise ValueError(f"valid_frac must be in [0,1], got {valid_frac}")
-    return format(int(valid_frac * _BUCKETS), "08x")
+    return format(min(int(valid_frac * _BUCKETS), _BUCKETS - 1), "08x")
 
 
 def split_col(id_col, valid_frac: float, salt: str = "split-v1") -> Column:
@@ -40,6 +47,10 @@ def split_col(id_col, valid_frac: float, salt: str = "split-v1") -> Column:
     split from the same ids (e.g. one for valid, one for test), and
     versioning the salt re-rolls the assignment on purpose — never by
     accident."""
+    if valid_frac >= 1.0:
+        # Threshold is clamped to 'ffffffff'; a strict < would miss the
+        # hashes equal to it, so the degenerate all-valid split is exact.
+        return F.lit("valid")
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
     return F.when(
         F.substring(h, 1, 8) < F.lit(split_threshold_hex(valid_frac)),

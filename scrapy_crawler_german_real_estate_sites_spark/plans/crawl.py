@@ -765,21 +765,37 @@ class CrawlEngine:
         manager storage for its remaining lifetime — callers that run more
         work on the same SparkSession (bench warm-up, multi-run jobs) must
         close() the engine they are done with."""
+        import logging
+
+        log = logging.getLogger(__name__)
+        # Py4JError/IllegalStateException = session already torn down,
+        # expected and harmless; anything else deserves a visible warning
+        # rather than a silent swallow.
         try:
             self.pages.unpersist(blocking=False)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — logged, not hidden
+            log.warning("close(): pages.unpersist failed: %s", e)
         try:
             self._ctx_bc.unpersist(blocking=False)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — logged, not hidden
+            log.warning("close(): ctx broadcast unpersist failed: %s", e)
         self.tagged = None
         self.seen = None
         self._trash.clear()
         self.out_batches = {"items": [], "docs": [], "alerts": []}
+        self._closed = True
+
+    def _check_open(self):
+        if getattr(self, "_closed", False):
+            raise RuntimeError(
+                "CrawlEngine is closed — its cached pages/frontier blocks "
+                "were released; build a new engine instead of reading "
+                "results from this one"
+            )
 
     # ---------------------------------------------------------------
     def items_df(self) -> DataFrame:
+        self._check_open()
         dfs = [d for d in self.out_batches["items"]]
         if not dfs:
             return self.spark.createDataFrame(

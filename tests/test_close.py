@@ -35,3 +35,17 @@ def test_close_releases_cache_and_session_survives(spark, fix_tiny, sim_tiny):
     s2 = eng2.run(max_waves=100)
     assert s2 == {k: s1[k] for k in s2}
     eng2.close()
+
+
+def test_closed_engine_fails_loudly(spark, fix_tiny):
+    """Reading results from a closed engine raises instead of silently
+    returning empty frames (the out_batches were dropped on close)."""
+    from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import (
+        CrawlEngine,
+    )
+
+    eng = CrawlEngine(spark, fix_tiny, hour=7, track_order=False)
+    eng.run(max_waves=2)
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.items_df()

@@ -91,3 +91,15 @@ def test_salts_draw_independent_splits(spark, docs):
 def test_bad_fraction_rejected():
     with pytest.raises(ValueError):
         split_threshold_hex(1.5)
+
+
+def test_degenerate_fractions_are_exact(spark, docs):
+    """valid_frac=1.0 assigns EVERY row to 'valid' (the clamped threshold
+    plus the >=1.0 short-circuit — not the ~1/16 a 9-char threshold would
+    give); 0.0 assigns every row to 'train'."""
+    assert split_threshold_hex(1.0) == "ffffffff"
+    n = docs.count()
+    all_valid = docs.withColumn("s", split_col("doc_id", 1.0))
+    assert all_valid.where(F.col("s") == "valid").count() == n
+    all_train = docs.withColumn("s", split_col("doc_id", 0.0))
+    assert all_train.where(F.col("s") == "train").count() == n
