@@ -338,6 +338,113 @@ SELECT netloc, url, warc_ts, rn FROM (
 """
 
 
+def q_politeness_select(spark, sf_dir):
+    """P1/P2/P4/P7 — the ACTUAL wave-batch operator
+    (operators/politeness.py select_batch: not_before gating, per-seed
+    budget prefix, spider-stop listing drain, per-netloc token bucket) on a
+    deterministic frontier derived from the fixture pages: one seed per
+    netloc, md5-derived kinds / not_before / budgets / stop flags, wave
+    iter_no=1 with 50s of wall (= 5 tokens at the reference's 10s
+    crawl_delay — settings.py:53-55)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        select_batch,
+    )
+
+    pages = _fx(spark, sf_dir, "pages").select(
+        "url", F.regexp_extract("url", _NETLOC_RE, 1).alias("netloc")
+    )
+    h = F.md5("url")
+    pend = pages.select(
+        "netloc",
+        F.col("netloc").alias("seed_id"),
+        F.row_number()
+        .over(Window.partitionBy("netloc").orderBy("url"))
+        .alias("fifo_seq"),
+        "url",
+        F.when(F.substring(h, 1, 1) < "8", F.lit("detail"))
+        .otherwise(F.lit("listing"))
+        .alias("kind"),
+        (F.conv(F.substring(h, 2, 1), 16, 10).cast("long") % 3)
+        .cast("int")
+        .alias("not_before"),
+    )
+    hs = F.md5("seed_id")
+    state = (
+        pages.select(F.col("netloc").alias("seed_id"))
+        .distinct()
+        .select(
+            "seed_id",
+            (F.lit(3) + F.conv(F.substring(hs, 1, 2), 16, 10).cast("long") % 5)
+            .alias("budget"),
+            F.lit(0).cast("long").alias("scraped"),
+            (F.conv(F.substring(hs, 3, 2), 16, 10).cast("long") % 4 == 0)
+            .alias("spider_stop"),
+            (F.conv(F.substring(hs, 5, 2), 16, 10).cast("long") % 7 == 0)
+            .alias("stopped"),
+        )
+    )
+    robots = _fx(spark, sf_dir, "robots")
+    return select_batch(pend, state, robots, iter_no=1, iter_seconds=50.0)
+
+
+SQL_POLITENESS_SELECT = f"""
+WITH pend AS (
+  SELECT netloc, netloc AS seed_id,
+         row_number() OVER (PARTITION BY netloc ORDER BY url) AS fifo_seq,
+         url, kind, not_before
+  FROM (
+    SELECT url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS netloc,
+           CASE WHEN substr(md5(url), 1, 1) < '8'
+                THEN 'detail' ELSE 'listing' END AS kind,
+           CAST(CAST(concat('0x', substr(md5(url), 2, 1)) AS BIGINT) % 3
+                AS INT) AS not_before
+    FROM read_parquet('{_fp("pages")}')
+  )
+),
+st AS (
+  SELECT seed_id,
+         3 + CAST(concat('0x', substr(md5(seed_id), 1, 2)) AS BIGINT) % 5 AS budget,
+         CAST(0 AS BIGINT) AS scraped,
+         CAST(concat('0x', substr(md5(seed_id), 3, 2)) AS BIGINT) % 4 = 0 AS spider_stop,
+         CAST(concat('0x', substr(md5(seed_id), 5, 2)) AS BIGINT) % 7 = 0 AS stopped
+  FROM (SELECT DISTINCT netloc AS seed_id FROM pend)
+),
+pres AS (
+  SELECT p.*, s.budget, s.scraped, s.spider_stop,
+    (p.not_before <= 1) AS elig,
+    COALESCE(SUM(CASE WHEN p.kind IN ('detail', 'detail2') AND p.not_before <= 1
+                      THEN 1 ELSE 0 END)
+      OVER (PARTITION BY p.seed_id ORDER BY p.fifo_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_det_excl,
+    COALESCE(SUM(CASE WHEN p.kind = 'listing' AND p.not_before <= 1
+                      THEN 1 ELSE 0 END)
+      OVER (PARTITION BY p.seed_id ORDER BY p.fifo_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lst_excl
+  FROM pend p JOIN st s ON p.seed_id = s.seed_id
+  WHERE NOT s.stopped
+),
+tagged AS (
+  SELECT *,
+    (elig AND cum_det_excl < (budget - scraped)
+          AND (NOT spider_stop OR cum_lst_excl = 0)) AS presel
+  FROM pres
+),
+tok AS (
+  SELECT t.*,
+    CAST(ceil(50.0 / COALESCE(r.crawl_delay_s, 10.0))
+         * COALESCE(r.max_concurrent, 1) AS BIGINT) AS tokens,
+    SUM(CASE WHEN t.presel THEN 1 ELSE 0 END)
+      OVER (PARTITION BY t.netloc ORDER BY t.fifo_seq, t.seed_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sel
+  FROM tagged t
+  LEFT JOIN read_parquet('{_fp("robots")}') r ON t.netloc = r.netloc
+)
+SELECT netloc, seed_id, fifo_seq, url, kind, not_before
+FROM tok WHERE presel AND cum_sel <= tokens
+"""
+
+
 def q_viertel_index(spark, sf_dir):
     # J2 (database.py:68-86): district index = array position
     s = _fx(spark, sf_dir, "stadte")
@@ -423,10 +530,24 @@ GROUP BY g.address, g.lat, g.lon, g.suburb
 
 
 def q_crawl_listings(spark, sf_dir):
-    """End-to-end crawl (tiny tier for bounded runtime) — non-SQL-expressible
-    (iterative frontier with stateful stops); driver records rows-only."""
+    """End-to-end crawl (tiny tier for bounded runtime).  The crawl itself
+    is iterative+stateful, so the oracle reads the GOLDEN SIMULATOR's
+    expected items (written as parquet at fixture-generate time); the
+    simulator's fidelity to the reference spiders is what
+    tests/test_crawl_parity.py proves (byte-identical item text, fetch
+    order, seen set)."""
     eng = _tiny_crawl(spark)
     return eng.items_df().select("seed_id", "url", "item_json", "doc_json")
+
+
+def _tiny_fp(table: str) -> str:
+    return os.path.join(FIX_ROOT, "tiny", f"{table}.parquet")
+
+
+SQL_CRAWL_LISTINGS = f"""
+SELECT seed_id, url, item_json, doc_json
+FROM read_parquet('{_tiny_fp("expected_listings")}')
+"""
 
 
 def q_multimodal_stub(spark, sf_dir):
@@ -828,13 +949,19 @@ def _tiny_crawl(spark):
 
 def q_alerts(spark, sf_dir):
     """S9 (pipelines.py:388-390, telegram.py:3-22): items with images and
-    gesamtkosten < 1000 -> alert side-output (rows-only; crawl-derived)."""
+    gesamtkosten < 1000 -> alert side-output.  Oracle: the golden
+    simulator's expected alerts parquet (see q_crawl_listings)."""
     eng = _tiny_crawl(spark)
     return (
         eng.items_df()
         .where(F.col("alert").isNotNull())
         .select("seed_id", "url", "alert")
     )
+
+
+SQL_ALERTS = f"""
+SELECT seed_id, url, alert FROM read_parquet('{_tiny_fp("expected_alerts")}')
+"""
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -962,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "frontier_init": q_frontier_init,
         "politeness_window": q_politeness_window,
+        "politeness_select": q_politeness_select,
         "lang_freshness": q_lang_freshness,
         "viertel_index": q_viertel_index,
         "liveness_gone": q_liveness_gone,
@@ -995,6 +1123,9 @@ def oracle_sql() -> dict[str, str]:
         )
 
         generate(ORACLE_TIER, os.path.join(FIX_ROOT, ORACLE_TIER))
+        # the crawl-derived oracles read the golden simulator's expected
+        # parquet from the tiny tier (written at generate time)
+        generate("tiny", os.path.join(FIX_ROOT, "tiny"))
     except Exception:
         pass
     return {
@@ -1007,12 +1138,19 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": SQL_URL_NORMALIZE,
         "frontier_init": SQL_FRONTIER_INIT,
         "politeness_window": SQL_POLITENESS,
+        "politeness_select": SQL_POLITENESS_SELECT,
         "lang_freshness": SQL_LANG_FRESHNESS,
         "viertel_index": SQL_VIERTEL,
         "liveness_gone": SQL_LIVENESS,
         "robots_filter": SQL_ROBOTS,
         "geocode_enrich": SQL_GEOCODE_ENRICH,
-        # crawl_listings: iterative stateful crawl — rows-only (no oracle)
+        # crawl_listings/alerts: the crawl itself is iterative+stateful, so
+        # the DuckDB side reads the GOLDEN SIMULATOR's expected output
+        # (plans/simulator.py expected_tables, written at fixture-generate
+        # time); the simulator's fidelity to the reference is what
+        # tests/test_crawl_parity.py proves
+        "crawl_listings": SQL_CRAWL_LISTINGS,
+        "alerts": SQL_ALERTS,
         "multimodal_stub": SQL_MULTIMODAL,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,

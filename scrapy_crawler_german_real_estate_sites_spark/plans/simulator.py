@@ -74,6 +74,9 @@ class SimResult:
     seen: set = field(default_factory=set)  # inserted item urls (exact)
     dup_skips: list = field(default_factory=list)  # candidate urls skipped
     failures: list = field(default_factory=list)  # (seed_id, url, reason)
+    # per-item pipeline effects, 1:1 with ``items`` (same append order):
+    # (doc_json|None, seen_url|None, alert|None, failure|None)
+    effects: list = field(default_factory=list)
 
 
 def transform_item(item, stadt_row, run_ts, doc_id):
@@ -232,6 +235,19 @@ class _Pipeline:
         if failure is not None:
             self.res.failures.append((spider.seed_id, item.get("url"), failure))
             self.stop_condition += 1
+        # 1:1 with res.items — doc serialized exactly like the engine's
+        # doc_json column (crawl.py pipeline pass) so the expected-output
+        # fixture is byte-comparable to items_df()
+        self.res.effects.append(
+            (
+                None
+                if doc is None
+                else json.dumps(doc, sort_keys=True, ensure_ascii=False, default=str),
+                seen_url,
+                alert,
+                failure,
+            )
+        )
         return item
 
 
@@ -323,3 +339,35 @@ def simulate(pages: dict, seeds, stadte, hour=7, run_date=None, run_ts=None,
                     closed = True  # CLOSESPIDER_ITEMCOUNT → queue dropped
                     break
     return res
+
+
+def expected_tables(res: SimResult):
+    """The golden run's expected engine outputs, shaped like items_df().
+
+    Returns ``(listings, alerts)`` row-dict lists:
+
+    * listings — one row per scraped item: ``(seed_id, url, item_json,
+      doc_json)``, ``url`` the PAGE the item was parsed from, ``item_json``
+      the canonical extracted-item text (the byte-identity invariant),
+      ``doc_json`` the inserted nested document or None;
+    * alerts — the Telegram side-output rows ``(seed_id, url, alert)``.
+
+    Written to the fixture dir as parquet at generate time so the
+    crawl-derived queries get plain ``read_parquet`` DuckDB oracles
+    (reference semantics: demo_crawl/pipelines.py:360-404)."""
+    assert len(res.items) == len(res.effects), "effects must be 1:1 with items"
+    listings, alerts = [], []
+    for (seed_id, url, item, _kind), (doc_json, _seen, alert, _fail) in zip(
+        res.items, res.effects
+    ):
+        listings.append(
+            {
+                "seed_id": seed_id,
+                "url": url,
+                "item_json": canonical_item_text(item),
+                "doc_json": doc_json,
+            }
+        )
+        if alert is not None:
+            alerts.append({"seed_id": seed_id, "url": url, "alert": alert})
+    return listings, alerts

@@ -1517,6 +1517,8 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
     if not force and os.path.exists(mpath):
         with open(mpath) as f:
             if json.load(f) == manifest:
+                if tier == "tiny":
+                    _write_expected(out_dir)  # no-op when already present
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1633,9 +1635,59 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
         os.path.join(out_dir, "geocache.parquet"),
     )
 
+    if tier == "tiny":
+        _write_expected(out_dir)
+
     with open(mpath, "w") as f:
         json.dump(manifest, f)
     return out_dir
+
+
+def _write_expected(fix_dir: str) -> None:
+    """Run the golden simulator over the just-written tiny fixture and
+    persist its expected listings/alerts (shaped like CrawlEngine.items_df)
+    so the crawl-derived queries get plain read_parquet DuckDB oracles.
+    Cheap (~1s: ~1.7k fetches / ~1.2k items) and only done for the tiny
+    tier — the tier the crawl queries run on."""
+    lpath = os.path.join(fix_dir, "expected_listings.parquet")
+    apath = os.path.join(fix_dir, "expected_alerts.parquet")
+    if os.path.exists(lpath) and os.path.exists(apath):
+        return
+    from ..plans.simulator import expected_tables, simulate
+
+    pages = pq.read_table(os.path.join(fix_dir, "pages.parquet"))
+    pages_map = dict(
+        zip(pages.column("url").to_pylist(), pages.column("text").to_pylist())
+    )
+    seeds = pq.read_table(os.path.join(fix_dir, "seeds.parquet")).to_pylist()
+    stadte = pq.read_table(os.path.join(fix_dir, "stadte.parquet")).to_pylist()
+    # hour=7 — the same deterministic run parameters the engine-side
+    # queries use (__spark_entry__._tiny_crawl)
+    res = simulate(pages_map, seeds, stadte, hour=7)
+    listings, alerts = expected_tables(res)
+    pq.write_table(
+        pa.table(
+            {
+                "seed_id": pa.array([r["seed_id"] for r in listings], pa.string()),
+                "url": pa.array([r["url"] for r in listings], pa.string()),
+                "item_json": pa.array(
+                    [r["item_json"] for r in listings], pa.string()
+                ),
+                "doc_json": pa.array([r["doc_json"] for r in listings], pa.string()),
+            }
+        ),
+        lpath,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "seed_id": pa.array([r["seed_id"] for r in alerts], pa.string()),
+                "url": pa.array([r["url"] for r in alerts], pa.string()),
+                "alert": pa.array([r["alert"] for r in alerts], pa.string()),
+            }
+        ),
+        apath,
+    )
 
 
 def fixture_dir(tier: str, root: str = None) -> str:
