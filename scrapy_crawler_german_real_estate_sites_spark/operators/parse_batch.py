@@ -72,6 +72,7 @@ def parse_pages(batch_df: DataFrame, run_date: datetime.date,
                     stadtname=t[2], haus=t[3], kaufen=t[4], chatid=t[5],
                     hour=t[6], url=t[7], run_date=run_date,
                     stadtviertel=t[8],
+                    progress_counter=t[9] if len(t) > 9 else 0,
                 )
                 ctx_cache[seed_id] = c
             return c

@@ -40,6 +40,11 @@ class SeedCtx:
     run_date: datetime.date = datetime.date(2021, 5, 1)
     # district array of this city, position = district id (database.py:68-86)
     stadtviertel: tuple = ()
+    # D7 epoch (immowelt.py:44-51): the spider instance's progressCounter,
+    # set at construction by the deployment; detail responses whose request
+    # meta carries a DIFFERENT counter are late arrivals from a previous
+    # instance and their items are dropped (immowelt.py:200-204)
+    progress_counter: int = 0
 
     def viertel_index(self, viertel: str):
         """J2: $indexOfArray over stadte.Stadtviertel (database.py:70-86).

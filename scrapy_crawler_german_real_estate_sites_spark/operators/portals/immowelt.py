@@ -24,8 +24,12 @@ the spider's dataflow with those calls repaired to the current signatures
   fields → load_item KeyError → ITEM DROPPED (immowelt.py:218-236); only
   image-less exposés produce items.
 * grundstuck/typ/bezugsfreiab(buy) select ELEMENTS (string-value used).
-* stale-request epoch drop (D7, immowelt.py:200-204) — single-epoch runs
-  never trigger it; the engine's frontier carries the epoch column.
+* stale-request epoch drop (D7, immowelt.py:200-204) — detail requests
+  carry ``progressCounter`` in meta (immowelt.py:186); a response whose
+  counter differs from the current instance's (``ctx.progress_counter``,
+  i.e. the engine run's ``epoch``) drops the item before extraction.
+  Exercised by resuming a checkpoint under a bumped epoch
+  (tests/test_epoch.py).
 * CLOSESPIDER_ITEMCOUNT = 220 (immowelt.py:25-27).
 """
 
@@ -75,13 +79,22 @@ def _parse_listing(x: XDoc, url: str, meta: dict, ctx: SeedCtx) -> ParseResult:
             for durl in start_urls:
                 res.links.append(
                     Link(url=durl, kind="detail", seq=seq,
-                         meta={"stadtid": ctx.stadtid})
+                         # immowelt.py:186 — every detail request carries
+                         # the spider instance's progressCounter (D7 epoch)
+                         meta={"stadtid": ctx.stadtid,
+                               "progressCounter": ctx.progress_counter})
                 )
                 seq += 1
     return res
 
 
 def _parse_detail(x: XDoc, url: str, meta: dict, ctx: SeedCtx) -> ParseResult:
+    # D7 stale-request drop (immowelt.py:200-204): a detail response whose
+    # request meta carries a progressCounter from an OLDER spider instance
+    # (previous run epoch) is a late arrival — the page was fetched, but
+    # DropItem fires before extraction, so no item and no links result.
+    if int(meta.get("progressCounter", ctx.progress_counter)) != ctx.progress_counter:
+        return ParseResult()
     item = {}
     procs = C.immobilie_processors(ctx.run_date)
     loader = C.ItemLoader(item, x, procs)

@@ -259,6 +259,10 @@ class CrawlEngine:
         use_bloom: bool = True,
         item_budgets: dict = None,
         checkpoint_every: int = 0,  # 0 = no parquet checkpoints
+        epoch: int = 0,  # D7 run generation (immowelt progressCounter):
+        #   resumed frontier rows whose request meta carries an older epoch
+        #   are late responses from a previous run — fetched, items dropped
+        #   (immowelt.py:200-204)
         track_order: bool = False,  # golden-ordering bookkeeping: collects
         #   every fetched/dup row to the driver per wave — O(fetched rows)
         #   driver memory, for the parity/resume test suites only.  Default
@@ -275,6 +279,7 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.checkpoint_every = checkpoint_every
         self.track_order = track_order
+        self.epoch = int(epoch)
 
         from ..sources import tables
 
@@ -326,6 +331,7 @@ class CrawlEngine:
                     int(r.kaufen), r.chatid, int(hour), r.seed_url,
                     tuple(r.stadtviertel) if r.stadtviertel is not None
                     else (),
+                    self.epoch,
                 )
                 for r in ctx_rows
             }

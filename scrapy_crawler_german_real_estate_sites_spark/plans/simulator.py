@@ -262,7 +262,7 @@ def check_dup(seen: set, url: str) -> bool:
 
 
 def simulate(pages: dict, seeds, stadte, hour=7, run_date=None, run_ts=None,
-             item_budgets=None) -> SimResult:
+             item_budgets=None, epoch=0) -> SimResult:
     """Run the full reference crawl over fixture ``pages`` (url→body str).
 
     ``seeds``: iterable of dicts (seeds table rows); ``stadte``: iterable of
@@ -300,6 +300,7 @@ def simulate(pages: dict, seeds, stadte, hour=7, run_date=None, run_ts=None,
             stadtviertel=tuple(
                 stadte_by_id.get(int(seed["stadtid"]), {}).get("Stadtviertel", ())
             ),
+            progress_counter=int(epoch),
         )
         spider = _Spider(seed["seed_id"])
         pipeline = _Pipeline(stadte_by_id, res, run_ts)
