@@ -1519,6 +1519,7 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
             if json.load(f) == manifest:
                 if tier == "tiny":
                     _write_expected(out_dir)  # no-op when already present
+                _write_images(out_dir)  # no-op when already present
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1637,10 +1638,85 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
 
     if tier == "tiny":
         _write_expected(out_dir)
+    _write_images(out_dir)
 
     with open(mpath, "w") as f:
         json.dump(manifest, f)
     return out_dir
+
+
+def bmp_bytes(width: int, height: int, rng) -> bytes:
+    """A real 24-bit uncompressed BMP (BITMAPINFOHEADER) — decodable with
+    a pure-python header parse, no codec library required."""
+    row = (3 * width + 3) // 4 * 4
+    pixels = bytes(rng.randrange(256) for _ in range(row * height))
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
+
+
+def ppm_bytes(width: int, height: int, rng) -> bytes:
+    """A real binary PPM (P6) with a comment line in the header."""
+    pixels = bytes(rng.randrange(256) for _ in range(3 * width * height))
+    return (
+        f"P6\n# synthetic fixture image\n{width} {height}\n255\n".encode() + pixels
+    )
+
+
+def _write_images(fix_dir: str) -> None:
+    """Plant REAL decodable images (BMP + PPM) plus opaque non-image
+    payloads in the fixture, with the true dims recorded alongside, so the
+    multimodal decode path is verified against ground truth
+    (tests/test_multimodal.py)."""
+    path = os.path.join(fix_dir, "images.parquet")
+    if os.path.exists(path):
+        return
+    rng = random.Random(SEED + 31)
+    urls, blobs, kinds, ws, hs, cs = [], [], [], [], [], []
+
+    def add(kind, blob, w, h, c):
+        urls.append(f"https://img.immorobo.de/{kind}/{len(urls)}")
+        blobs.append(blob)
+        kinds.append(kind)
+        ws.append(w)
+        hs.append(h)
+        cs.append(c)
+
+    for i in range(8):
+        w, h = rng.randrange(5, 200), rng.randrange(5, 200)
+        add("bmp", bmp_bytes(w, h, rng), w, h, 3)
+    for i in range(8):
+        w, h = rng.randrange(5, 200), rng.randrange(5, 200)
+        add("ppm", ppm_bytes(w, h, rng), w, h, 3)
+    for i in range(8):
+        # opaque payloads (no decodable header) — the md5-fake path
+        add("opaque", bytes(rng.randrange(256) for _ in range(rng.randrange(64, 512))),
+            -1, -1, -1)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "img": pa.array(blobs, pa.binary()),
+                "kind": pa.array(kinds, pa.string()),
+                "true_width": pa.array(ws, pa.int32()),
+                "true_height": pa.array(hs, pa.int32()),
+                "true_channels": pa.array(cs, pa.int32()),
+            }
+        ),
+        path,
+    )
 
 
 def _write_expected(fix_dir: str) -> None:

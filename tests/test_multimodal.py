@@ -1,20 +1,41 @@
 """Tests for the multimodal binary-column plumbing (operators/multimodal.py):
-the Arrow mapInPandas path with the deterministic fake decode, and the
-honest NotImplementedError on the real-decode path."""
+REAL pure-python BMP/PPM header decode against planted fixture ground
+truth, the deterministic md5 fake for opaque payloads, and the Arrow
+mapInPandas path."""
 
 import hashlib
 
 import pytest
 
 from scrapy_crawler_german_real_estate_sites_spark.operators.multimodal import (
-    DECODED_SCHEMA,
+    decode_image,
     decode_image_stub,
     extract_image_features,
+    fake_dims,
 )
 
 
+def test_decode_real_bmp_and_ppm_known_answer():
+    import random
+
+    from scrapy_crawler_german_real_estate_sites_spark.sources.synth import (
+        bmp_bytes,
+        ppm_bytes,
+    )
+
+    rng = random.Random(7)
+    assert decode_image(bmp_bytes(123, 45, rng)) == (123, 45, 3)
+    assert decode_image(ppm_bytes(31, 207, rng)) == (31, 207, 3)
+    # PGM (P5, 1 channel) with a comment line
+    assert decode_image(b"P5\n# c\n17 9\n255\n" + b"\x00" * (17 * 9)) == (17, 9, 1)
+    # non-images refuse to decode
+    assert decode_image(b"\x89PNG\r\n\x1a\n...") is None
+    assert decode_image(b"<html></html>") is None
+    assert decode_image(b"") is None
+
+
 def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image_stub(b"\x89PNG...", deterministic_fake=False)
 
 
@@ -29,6 +50,32 @@ def test_decode_stub_deterministic_fake_known_answer():
     assert decode_image_stub(raw, deterministic_fake=True) == (w, hh, c)
 
 
+def test_fixture_images_decode_to_ground_truth(spark, fix_tiny):
+    """The planted BMP/PPM fixture images decode to their recorded true
+    dims through the full Spark mapInPandas path; opaque payloads take the
+    md5-fake path and are flagged decoded=false."""
+    import os
+
+    df = spark.read.parquet(os.path.join(fix_tiny, "images.parquet"))
+    out = {
+        r.url: r
+        for r in extract_image_features(df, bin_col="img").collect()
+    }
+    truth = df.select(
+        "url", "kind", "true_width", "true_height", "true_channels"
+    ).collect()
+    assert len(truth) == 24
+    for t in truth:
+        r = out[t.url]
+        if t.kind in ("bmp", "ppm"):
+            assert r.decoded is True
+            assert (r.width, r.height, r.channels) == (
+                t.true_width, t.true_height, t.true_channels,
+            ), t.url
+        else:
+            assert r.decoded is False
+
+
 def test_extract_image_features_plumbing(spark):
     rows = [(f"u{i}", bytes([i]) * (10 + i)) for i in range(20)]
     df = spark.createDataFrame(rows, "url string, html binary")
@@ -36,14 +83,14 @@ def test_extract_image_features_plumbing(spark):
     # schema is the declared typed-metadata contract
     assert out.schema.simpleString() == (
         "struct<url:string,n_bytes:bigint,width:int,height:int,"
-        "channels:int,feature:array<float>>"
+        "channels:int,decoded:boolean,feature:array<float>>"
     )
     got = {r.url: r for r in out.collect()}
     assert len(got) == 20
     for url, raw in rows:
         r = got[url]
         assert r.n_bytes == len(raw)
-        w, h, c = decode_image_stub(raw, deterministic_fake=True)
+        w, h, c = fake_dims(raw)
         assert (r.width, r.height, r.channels) == (w, h, c)
         dig = hashlib.md5(raw + b"#feat").digest()
         assert len(r.feature) == 8
