@@ -112,6 +112,44 @@ def read_state(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def delete_rows(spark: SparkSession, path: str, keys: DataFrame, key_cols=("url",)):
+    """Row-level delete of every row matching ``keys`` on ``key_cols`` —
+    the executed sink side of D9 (liveness sweep) and D10 (retention
+    window): reference ``database.py:27-37`` (``deleteStadtAngebot``) and
+    ``database.py:125-129`` (``deleteUrlsliste``) issue per-row Mongo
+    deletes; at 100 TB the analogue is one set-oriented
+
+        MERGE INTO listings t USING candidates k
+        ON t.url = k.url WHEN MATCHED THEN DELETE
+
+    against the Iceberg table (row-level delete files, no table rewrite).
+    The parquet fallback rewrites the table via a broadcast-able anti-join
+    — correct but O(table) IO, which is exactly why the production format
+    is Iceberg.  Returns the number of rows deleted."""
+    before = read_state(spark, path)
+    n_before = before.count()
+    if table_format() == "iceberg":
+        ident = _iceberg_ident(path)
+        view = "_graft_delete_keys"
+        keys.select(*key_cols).distinct().createOrReplaceTempView(view)
+        cond = " AND ".join(f"t.{c} = k.{c}" for c in key_cols)
+        spark.sql(
+            f"MERGE INTO {ident} t USING {view} k ON {cond} "
+            "WHEN MATCHED THEN DELETE"
+        )
+        spark.catalog.dropTempView(view)
+    else:
+        remaining = before.join(
+            keys.select(*key_cols).distinct(),
+            on=list(key_cols),
+            how="left_anti",
+        )
+        # materialize off the input files before overwriting them
+        remaining = remaining.localCheckpoint(eager=True)
+        write_state(remaining, path)
+    return n_before - read_state(spark, path).count()
+
+
 def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
               extra_conf=None) -> SparkSession:
     _ensure_pythonpath()
