@@ -68,8 +68,7 @@ PASS_SCHEMA = (
     "seed_id string, fifo_seq long, item_idx int, url string, kind string, "
     "counted boolean, effective boolean, item_json string, item_kind string, "
     "doc_json string, seen_url string, alert string, failure string, "
-    "links array<struct<url:string, kind:string, seq:int, dup_check:boolean, "
-    "meta:string>>, partition_id int"
+    "partition_id int"
 )
 
 PENDING_SCHEMA = T.StructType(
@@ -107,6 +106,13 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
     pipelines.py:363-369), insert/alert effects via the SAME ``apply_item``
     the golden simulator uses.
 
+    The exchange feeding this pass carries ONLY what the state machine
+    needs (seed_id, fifo_seq, url, kind, parse_ok, items) — the ``links``
+    arrays never shuffle, never cross the Arrow boundary, and are not
+    re-materialized in the PASS checkpoint: the engine filters them
+    IN PLACE on the parse partitions with a broadcast semi-join against
+    this pass's ``effective`` page set (see ``_run_wave_inner``).
+
     Dataflow: ``repartition(seed_id) → sortWithinPartitions(seed_id,
     fifo_seq) → mapInPandas`` with cross-Arrow-batch group continuation —
     NOT ``groupBy.applyInPandas``.  Semantically identical (every seed's
@@ -139,7 +145,7 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                 "item_idx": -1, "url": row.url, "kind": row.kind,
                 "counted": False, "effective": False, "item_json": None,
                 "item_kind": None, "doc_json": None, "seen_url": None,
-                "alert": None, "failure": None, "links": [],
+                "alert": None, "failure": None,
                 "partition_id": int(row.partition_id),
             }
 
@@ -156,9 +162,6 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                 continue
             rec["counted"] = True
             rec["effective"] = True
-            # links/items arrive as native Arrow struct arrays (no json
-            # decode on this measured-hot path)
-            rec["links"] = list(row.links) if row.parse_ok else []
             out.append(rec)
             items = row.items if row.parse_ok else []
             for idx, it in enumerate(items):
@@ -201,7 +204,7 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
                     }
                 ),
                 "seen_url": None, "alert": None, "failure": None,
-                "links": [], "partition_id": -1, "item_idx": -1,
+                "partition_id": -1, "item_idx": -1,
             }
         )
 
@@ -237,7 +240,11 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
     # don't inherit the parse phase's 4x-core task fan-out
     n_parts = 2 * parsed.sparkSession.sparkContext.defaultParallelism
     return (
-        parsed.repartition(n_parts, "seed_id")
+        parsed.select(
+            "seed_id", "fifo_seq", "url", "kind", "partition_id",
+            "parse_ok", "items",
+        )
+        .repartition(n_parts, "seed_id")
         .sortWithinPartitions("seed_id", "fifo_seq")
         .mapInPandas(run, PASS_SCHEMA)
     )
@@ -490,13 +497,22 @@ class CrawlEngine:
         fetched = self.pages.join(F.broadcast(batch), "url", "inner")
         # parse directly on the scan splits: the cached pages fan out
         # across all cores, and the html bytes are never shuffled — only
-        # the parsed output (fields + links, ~10x smaller) moves in the
-        # groupBy(seed) exchange feeding the pipeline pass.  At cluster
-        # scale this is the Iceberg-bucketed pages scan with the wave batch
-        # broadcast to it.  Seed ctx and wave state ride as python
+        # the state machine's inputs (fields + item json, the smallest
+        # slice of the parse output) move in the groupBy(seed) exchange
+        # feeding the pipeline pass.  At cluster scale this is the
+        # Iceberg-bucketed pages scan with the wave batch broadcast to it.  Seed ctx and wave state ride as python
         # broadcasts, not joins: the only per-wave broadcast BUILD is the
         # wave batch itself.
-        parsed = parse_pages(fetched, self.run_date, self._ctx_bc)
+        # non-eager localCheckpoint: the pipeline checkpoint below is the
+        # first job over the parse output, so parsing happens ONCE and its
+        # blocks serve both consumers — the per-seed pipeline exchange
+        # (which now moves only the state machine's inputs) and the links
+        # path (which stays on the parse partitions entirely: link arrays
+        # never shuffle, never re-cross the Arrow boundary, and are not
+        # re-materialized in the PASS checkpoint)
+        parsed = parse_pages(fetched, self.run_date, self._ctx_bc).localCheckpoint(
+            eager=False
+        )
         passed = pipeline_pass(
             parsed, state_snap_bc, self._stadte_by_id, self.run_ts
         ).localCheckpoint(eager=True)
@@ -604,11 +620,18 @@ class CrawlEngine:
                 self._seen_unfolded = 0
         _mark('seen')
 
-        # --- new links from effective rows
+        # --- new links from effective rows: the pipeline pass decided
+        # WHICH pages are effective (budget/stop prefix); the link arrays
+        # themselves stayed on the parse partitions.  The effective page
+        # set is one narrow (seed_id, fifo_seq) row per fetched page — a
+        # broadcast semi-join filters the links in place, so link bytes
+        # move exactly once (into the frontier append).
+        eff_pages = pages_out.where(F.col("effective")).select(
+            "seed_id", "fifo_seq"
+        )
         links = explode_links(
-            pages_out.where(F.col("effective")).select(
-                "seed_id", "fifo_seq", "links"
-            )
+            parsed.join(F.broadcast(eff_pages), ["seed_id", "fifo_seq"], "semi")
+            .select("seed_id", "fifo_seq", "links")
         ).withColumn("netloc", _netloc(F.col("url")))
         allowed, blocked = politeness.robots_filter(links, self.robots)
         # the blocked count is diagnostics; in throughput mode don't spend a
@@ -693,6 +716,10 @@ class CrawlEngine:
         old_tagged = self.tagged
         self.tagged = self._tag(nxt, it + 1).localCheckpoint(eager=True)
         self._unpersist_later(old_tagged)
+        # the parse-output blocks are fully consumed once the frontier
+        # checkpoint lands (pipeline checkpoint + links append both done);
+        # unlike ``passed`` nothing later roots in them
+        self._unpersist_later(parsed)
         # NOTE: ``passed`` blocks must stay alive — the lazy seen-set
         # increments and item batches root in them, and a localCheckpoint
         # has no lineage to recompute from.  They are bounded by the run's

@@ -81,11 +81,13 @@ def _run(spark, arrow_batch):
         }
         bc = spark.sparkContext.broadcast(snap)
         out = pipeline_pass(parsed, bc, STADTE, RUN_TS)
+        # links no longer flow through the pass (they bypass the exchange
+        # and are gated by the engine's broadcast semi-join on the
+        # effective page set) — the pass output is the state machine's
         rows = sorted(
             (r.seed_id, r.fifo_seq, r.item_idx, r.kind, str(r.counted),
              str(r.effective), str(r.item_json), str(r.doc_json),
-             str(r.seen_url), str(r.alert), str(r.failure),
-             str([(l.url, l.seq) for l in r.links]))
+             str(r.seen_url), str(r.alert), str(r.failure))
             for r in out.collect()
         )
         bc.unpersist()
