@@ -625,6 +625,35 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.1
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (Lee et al. 2022 / GPT-3 appendix C):
+    documents sharing ≥1 word 4-gram with the benchmark slice (doc_id %
+    13 == 0 stands in for the eval set) and how many distinct grams they
+    share.  The benchmark's distinct gram set broadcasts; the corpus side
+    never shuffles pre-join (operators/decontam.py)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.decontam import (
+        contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 13 == 0)
+    corpus = docs.where(F.col("doc_id") % 13 != 0)
+    return contamination(corpus, bench, n=4)
+
+
+SQL_DECONTAMINATE = """
+WITH btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+               FROM documents WHERE doc_id % 13 = 0),
+bsh AS (SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS sh
+        FROM btoks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS g(i)),
+dtoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE doc_id % 13 <> 0),
+dsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS sh
+        FROM dtoks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS g(i))
+SELECT doc_id, count(*) AS grams_hit FROM dsh JOIN bsh USING (sh) GROUP BY doc_id
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
         dedup_minhash_lsh,
@@ -1100,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "decontaminate": q_decontaminate,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
@@ -1155,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
+        "decontaminate": SQL_DECONTAMINATE,
         "dedup_simhash": SQL_SIMHASH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_repetition": SQL_TEXT_REPETITION,

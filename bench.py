@@ -31,12 +31,14 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "decontaminate",
     "dedup_simhash",
     "dedup_clusters",
     "embedding_topk",
     "embedding_neardup",
     "embedding_ann_ivf",
     "geocode_enrich",
+    "politeness_select",
     "text_stats",
     "text_repetition",
     "bm25_search",

@@ -37,6 +37,9 @@ TIERS = {
     "sf0.001": {"cities": 15},
     "sf0.01": {"cities": 150},
     "sf0.1": {"cities": 1500},
+    # scaling-evidence tier: big enough that the flat per-wave maintenance
+    # terms stop dominating the 8->32 comparison (BENCH/BASELINE.md)
+    "sf0.3": {"cities": 4500},
 }
 
 COMBOS = [(0, 0), (0, 1), (1, 1)]
