@@ -1103,6 +1103,120 @@ LIMIT {BM25_K}
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality filter (operators/quality.py, Rae
+    et al. 2021 §A1.1 shape): keep/drop + FIRST failing rule per doc.
+    Signals reuse textops.repetition_stats (map-side-combinable per-doc
+    gram groupBys) plus row-local mean-word-length / stopword-ratio
+    expressions; thresholds compare round(…,6) values so the DuckDB
+    oracle reproduces decisions bit-for-bit."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.quality import (
+        quality_filter,
+    )
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def _sql_quality_filter():
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        LANG_STOPWORDS,
+    )
+    from scrapy_crawler_german_real_estate_sites_spark.operators.quality import (
+        DEFAULTS as TH,
+    )
+
+    all_hits = " + ".join(
+        _sql_word_count(w) for ws in LANG_STOPWORDS.values() for w in ws
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+base AS (SELECT doc_id, len(tk) AS n_words, len(list_distinct(tk)) AS n_distinct
+         FROM t),
+g2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+       FROM t, unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS s(i)),
+bi AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+top AS (SELECT doc_id, cnt AS top_cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+        FROM bi),
+g5 AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+       FROM t, unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS s(i)),
+f5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g),
+d5 AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * 5 ELSE 0 END) AS dup5_mass
+       FROM f5 GROUP BY doc_id),
+rl AS (SELECT doc_id,
+              round(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                            x -> length(x))) * 1.0
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                AS mwl,
+              round(({all_hits}) * 1.0
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                AS swr
+       FROM t),
+m AS (SELECT b.doc_id, b.n_words,
+             round(1.0 - b.n_distinct * 1.0 / b.n_words, 6) AS dupw,
+             round(top.top_cnt * 2.0 / b.n_words, 6) AS topbi,
+             round(d5.dup5_mass * 1.0 / b.n_words, 6) AS dup5,
+             rl.mwl, rl.swr
+      FROM base b
+      JOIN top ON top.doc_id = b.doc_id AND top.rn = 1
+      JOIN d5 ON d5.doc_id = b.doc_id
+      JOIN rl ON rl.doc_id = b.doc_id)
+SELECT doc_id, n_words,
+       CASE WHEN n_words < {TH["min_words"]} THEN 'too_short'
+            WHEN mwl < {TH["min_mwl"]} OR mwl > {TH["max_mwl"]} THEN 'word_len'
+            WHEN swr <= 0.0 THEN 'no_stopwords'
+            WHEN dupw > {TH["max_dup_word"]} THEN 'dup_words'
+            WHEN topbi > {TH["max_top_bigram"]} THEN 'top_bigram'
+            WHEN dup5 > {TH["max_dup_5gram"]} THEN 'dup_5gram'
+            ELSE 'ok' END AS reason,
+       (CASE WHEN n_words < {TH["min_words"]} THEN 'too_short'
+             WHEN mwl < {TH["min_mwl"]} OR mwl > {TH["max_mwl"]} THEN 'word_len'
+             WHEN swr <= 0.0 THEN 'no_stopwords'
+             WHEN dupw > {TH["max_dup_word"]} THEN 'dup_words'
+             WHEN topbi > {TH["max_top_bigram"]} THEN 'top_bigram'
+             WHEN dup5 > {TH["max_dup_5gram"]} THEN 'dup_5gram'
+             ELSE 'ok' END) = 'ok' AS keep
+FROM m
+"""
+
+
+LM_VOCAB_CAP = 25  # corpus vocab is 31 — the cap makes OOV scoring real
+
+
+def q_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram-LM scoring (operators/lm.py, Wenzek et al.
+    2020): add-one-smoothed unigram LM trained on the corpus (vocab
+    capped via a distributed TakeOrderedAndProject), broadcast to score
+    every document's mean −ln p(w) and perplexity; OOV tokens hit the
+    smoothed floor."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.lm import (
+        unigram_nll,
+    )
+
+    return unigram_nll(_t(spark, sf_dir, "documents"), vocab_cap=LM_VOCAB_CAP)
+
+
+SQL_UNIGRAM_NLL = f"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+           FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS n_total, count(*) AS full_vocab FROM c),
+konst AS (SELECT (n_total + least(full_vocab, {LM_VOCAB_CAP}) + 1) * 1.0 AS denom
+          FROM tot),
+vocab AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT {LM_VOCAB_CAP}),
+lm AS (SELECT w, ln((c + 1.0) / denom) AS lp FROM vocab, konst),
+sc AS (SELECT doc_id, -coalesce(lp, ln(1.0 / denom)) AS nl
+       FROM tok LEFT JOIN lm USING (w), konst)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(nl), 6) AS nll,
+       round(exp(avg(nl)), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1130,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "decontaminate": q_decontaminate,
+        "quality_filter": q_quality_filter,
+        "unigram_nll": q_unigram_nll,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "text_repetition": q_text_repetition,
@@ -1186,6 +1302,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
         "decontaminate": SQL_DECONTAMINATE,
+        "quality_filter": _sql_quality_filter(),
+        "unigram_nll": SQL_UNIGRAM_NLL,
         "dedup_simhash": SQL_SIMHASH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "text_repetition": SQL_TEXT_REPETITION,

@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "decontaminate",
+    "quality_filter",
+    "unigram_nll",
     "dedup_simhash",
     "dedup_clusters",
     "embedding_topk",
