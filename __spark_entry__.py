@@ -208,6 +208,73 @@ FROM events GROUP BY event_type
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events log (operators/temporal.py):
+    one user-partitioned window pass (lag → break → running sum), then a
+    per-(user, session) rollup that reuses the window's partitioning —
+    Catalyst inserts no second exchange."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.temporal import (
+        sessionize,
+    )
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MIN)
+
+
+SQL_SESSIONIZE = f"""
+WITH x AS (SELECT user_id, ts, event_id, value, epoch_us(ts) AS tus,
+                  lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tus
+           FROM events),
+b AS (SELECT *, CASE WHEN prev_tus IS NULL
+                       OR tus - prev_tus > {SESSION_GAP_MIN * 60 * 1000000}
+                     THEN 1 ELSE 0 END AS brk
+      FROM x),
+s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_idx
+      FROM b)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       max(tus) - min(tus) AS duration_us,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (operators/temporal.py): every purchase event matched to
+    the user's latest click at or before it — the union + last(payload)
+    IGNORE NULLS sort-merge re-expression of DuckDB/kdb ASOF JOIN."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.temporal import (
+        asof_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return asof_join(
+        e.where(F.col("event_type") == "purchase"),
+        e.where(F.col("event_type") == "click"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH p AS (SELECT event_id AS left_id, user_id, ts AS left_ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(event_id) AS rid
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+m AS (SELECT p.*, (SELECT max(c2.ts) FROM c c2
+                   WHERE c2.user_id = p.user_id AND c2.ts <= p.left_ts)
+                  AS right_ts
+      FROM p)
+SELECT m.left_id, m.user_id, m.left_ts, c.rid AS right_id, m.right_ts,
+       CASE WHEN m.right_ts IS NULL THEN NULL
+            ELSE epoch_us(m.left_ts) - epoch_us(m.right_ts) END AS wait_us
+FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.right_ts
+"""
+
+
 def q_retention_candidates(spark, sf_dir):
     # D10 (database.py:27-37): delete-older-than window, per month+status
     o = _t(spark, sf_dir, "orders")
@@ -1228,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_cust": q_top_orders_per_cust,
         "sorted_scan_limit": q_sorted_scan_limit,
         "event_time_stats": q_event_time_stats,
+        "sessionize": q_sessionize,
+        "asof_attribution": q_asof_attribution,
         "retention_candidates": q_retention_candidates,
         "url_normalize": q_url_normalize,
         "frontier_init": q_frontier_init,
@@ -1280,6 +1349,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_cust": SQL_TOP_ORDERS,
         "sorted_scan_limit": SQL_SORTED_SCAN,
         "event_time_stats": SQL_EVENT_STATS,
+        "sessionize": SQL_SESSIONIZE,
+        "asof_attribution": SQL_ASOF_ATTRIBUTION,
         "retention_candidates": SQL_RETENTION,
         "url_normalize": SQL_URL_NORMALIZE,
         "frontier_init": SQL_FRONTIER_INIT,

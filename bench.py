@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "dataset_split",
     "lang_freshness",
+    "sessionize",
+    "asof_attribution",
     "url_normalize",
     "multimodal_stub",
 ]
