@@ -85,7 +85,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, id_a="id_a", id_b="id_b", max_iter=50
+    pairs: DataFrame, id_a="id_a", id_b="id_b", max_iter=50,
+    rows_per_partition=100_000,
 ) -> DataFrame:
     """Labels every node appearing in ``pairs`` with its component's
     minimum node id.  Returns (id, component).
@@ -94,7 +95,18 @@ def connected_components(
     duplicates don't matter.  Converges when the canonical edge set is a
     fixpoint of small-star∘large-star — at that point the edges form
     stars (child → component minimum).
+
+    Shuffle width is DATA-sized per round, not core-sized (the same
+    policy as the crawl engine's small-job phase, plans/crawl.py): each
+    round shuffles the live edge set 4-5 times, and near-dup edge sets
+    are tiny relative to the corpus, so at the session's full width the
+    per-task launch overhead dominates every round (measured 35.9s →
+    13.9s for the sf0.01 dedup_clusters query, both on a contended
+    host).  The width follows the
+    edge count the fixpoint signature already measures — a 10^10-edge
+    graph keeps the session's full width, and shrinks as rounds converge.
     """
+    spark = pairs.sparkSession
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
@@ -104,13 +116,22 @@ def connected_components(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ).localCheckpoint(eager=True)
     prev = _sig(e)
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _sig(nxt)
-        e = nxt
-        if cur == prev:
-            break
-        prev = cur
+    session_width = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _ in range(max_iter):
+            width = max(
+                1,
+                min(int(session_width), prev[0] // rows_per_partition + 1),
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _sig(nxt)
+            e = nxt
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_width)
     # stars: every non-root points at its root; roots label themselves
     return (
         nodes.join(
