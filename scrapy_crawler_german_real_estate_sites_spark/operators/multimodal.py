@@ -132,3 +132,119 @@ def extract_image_features(
             yield pd.DataFrame(out)
 
     return df.select(url_col, bin_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (the remaining multimodal plumbing verbs)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = (
+    "url string, out_w int, out_h int, resized boolean, image binary"
+)
+FRAMES_SCHEMA = "url string, frame_idx int, frame binary"
+
+
+def _parse_pnm_binary(raw: bytes):
+    """Full parse of binary PNM (P5 gray / P6 rgb, maxval ≤ 255):
+    (w, h, channels, pixel_offset) or None."""
+    if len(raw) < 2 or raw[0:1] != b"P" or raw[1:2] not in b"56":
+        return None
+    channels = 3 if raw[1:2] == b"6" else 1
+    tokens, i, n = [], 2, len(raw)
+    while len(tokens) < 3 and i < n:
+        c = raw[i : i + 1]
+        if c == b"#":
+            while i < n and raw[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and raw[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(raw[i:j]))
+            i = j
+        else:
+            return None
+    if len(tokens) < 3 or tokens[0] <= 0 or tokens[1] <= 0 or tokens[2] > 255:
+        return None
+    i += 1  # exactly ONE whitespace byte separates maxval from pixels
+    w, h = tokens[0], tokens[1]
+    if len(raw) < i + w * h * channels:
+        return None
+    return w, h, channels, i
+
+
+def resize_pnm(raw: bytes, out_w: int, out_h: int) -> Optional[bytes]:
+    """REAL nearest-neighbor resize for binary PNM payloads (the codec-free
+    format family): returns resized bytes in the same format, or None for
+    anything that isn't binary P5/P6."""
+    import numpy as np
+
+    parsed = _parse_pnm_binary(raw)
+    if parsed is None:
+        return None
+    w, h, ch, off = parsed
+    px = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=off)
+    px = px.reshape(h, w, ch)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    out = px[ys][:, xs]
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, url_col="url", bin_col="image"
+) -> DataFrame:
+    """Binary image column → resized binary image column.  Decodable
+    payloads (binary PNM) get a REAL nearest-neighbor resize; everything
+    else passes through unchanged with ``resized = false`` (total, like
+    the decode path).  Row-local Arrow batches: no shuffle, partitioning
+    inherited from the input scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "out_w": [], "out_h": [], "resized": [],
+                   "image": []}
+            for url, raw in zip(pdf[url_col], pdf[bin_col]):
+                raw = bytes(raw)
+                resized = resize_pnm(raw, out_w, out_h)
+                out["url"].append(url)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["resized"].append(resized is not None)
+                out["image"].append(resized if resized is not None else raw)
+            yield pd.DataFrame(out)
+
+    return df.select(url_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int, every_n: int = 1,
+    url_col="url", bin_col="video",
+) -> DataFrame:
+    """Deterministic frame sampling over an opaque fixed-stride "video"
+    layout (frame k = bytes [k*frame_bytes, (k+1)*frame_bytes)): one input
+    row explodes to one row per sampled frame.  Real video containers need
+    codecs this container lacks — the LAYOUT is the honest stand-in; the
+    Spark-side shape (binary in, exploded frame rows out, batch-size
+    change inside one Arrow pass) is the part that matters at scale.
+    Trailing partial frames are dropped (fixed-stride contract)."""
+    if frame_bytes <= 0 or every_n <= 0:
+        raise ValueError("frame_bytes and every_n must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "frame_idx": [], "frame": []}
+            for url, raw in zip(pdf[url_col], pdf[bin_col]):
+                raw = bytes(raw)
+                for k in range(0, len(raw) // frame_bytes, every_n):
+                    out["url"].append(url)
+                    out["frame_idx"].append(k)
+                    out["frame"].append(
+                        raw[k * frame_bytes : (k + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(url_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -111,3 +111,85 @@ def test_extract_image_features_distributed_partitions(spark):
         for r in extract_image_features(df.repartition(7)).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling
+# ---------------------------------------------------------------------------
+
+
+def _p6(w, h, pixels):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def test_resize_pnm_known_answer():
+    from scrapy_crawler_german_real_estate_sites_spark.operators.multimodal import (
+        resize_pnm,
+    )
+
+    # 4x2 rgb image: pixel (x,y) = (x*10+y, 0, 0)
+    px = []
+    for y in range(2):
+        for x in range(4):
+            px += [x * 10 + y, 0, 0]
+    raw = _p6(4, 2, px)
+    # downsample to 2x1: nearest-neighbor picks src (0,0) and (2,0)
+    assert resize_pnm(raw, 2, 1) == _p6(2, 1, [0, 0, 0, 20, 0, 0])
+    # upsample to 8x2 duplicates columns
+    up = resize_pnm(raw, 8, 2)
+    assert up[:11] == b"P6\n8 2\n255\n"
+    assert up[11:14] == bytes([0, 0, 0]) and up[14:17] == bytes([0, 0, 0])
+    # P5 grayscale
+    assert resize_pnm(b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4]), 1, 1) == (
+        b"P5\n1 1\n255\n" + bytes([1])
+    )
+    # non-PNM payloads refuse
+    assert resize_pnm(b"BMflat-not-pnm", 2, 2) is None
+    assert resize_pnm(b"P3\n1 1\n255\n0 0 0", 1, 1) is None  # ascii PNM
+
+
+def test_resize_images_spark_path(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.multimodal import (
+        resize_images,
+        resize_pnm,
+    )
+
+    px = bytes(range(4 * 2 * 3))
+    rows = [("a", _p6(4, 2, px)), ("b", b"\x89PNG-opaque")]
+    df = spark.createDataFrame(rows, "url string, image binary")
+    got = {r.url: r for r in resize_images(df, 2, 2).collect()}
+    assert got["a"].resized is True
+    assert bytes(got["a"].image) == resize_pnm(rows[0][1], 2, 2)
+    assert got["b"].resized is False
+    assert bytes(got["b"].image) == rows[1][1]  # passthrough
+    assert (got["a"].out_w, got["a"].out_h) == (2, 2)
+
+
+def test_sample_frames_known_answer(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    # 10 frames of 4 bytes each + 2 trailing bytes (dropped)
+    video = b"".join(bytes([k] * 4) for k in range(10)) + b"zz"
+    df = spark.createDataFrame([("v", video)], "url string, video binary")
+    got = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in sample_frames(df, frame_bytes=4, every_n=3).collect()
+    )
+    assert got == [(0, b"\x00" * 4), (3, b"\x03" * 4),
+                   (6, b"\x06" * 4), (9, b"\x09" * 4)]
+    # every_n=1 yields all complete frames
+    assert sample_frames(df, frame_bytes=4).count() == 10
+
+
+def test_sample_frames_validates_args(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([("v", b"x")], "url string, video binary")
+    with pytest.raises(ValueError):
+        sample_frames(df, frame_bytes=0)
+    with pytest.raises(ValueError):
+        sample_frames(df, frame_bytes=4, every_n=0)
