@@ -55,30 +55,51 @@ def _load_tables(fix):
     return seeds, stadte
 
 
-def _worker(args):
-    """Parse one chunk of seeds; load cost excluded from compute wall.
+# Loaded ONCE in the parent; forked workers inherit it copy-on-write.
+# Per-worker loading double-counted nothing at sf0.1 (2.4 GB x 8 fit in
+# RAM) but at sf0.3 x 32 workers it needs ~230 GB and the box thrashes —
+# fork inheritance keeps one copy, and the compute window still measures
+# only parse work (refcount CoW faults are the same dict accesses the
+# per-worker copy paid).
+_SHARED = {}
 
-    All workers rendezvous on a barrier AFTER loading and BEFORE the timed
-    compute, so the measured windows fully overlap — without it, staggered
-    parquet loads mean worker k computes while worker j still loads, and
-    ``max(per-worker wall)`` under-measures the true concurrent wall
-    (observed as a spurious super-linear "efficiency" once the parse
-    kernel got fast enough that load jitter rivaled compute)."""
-    fix, seed_chunk, barrier, q = args
+
+def _load_shared(fix):
+    if _SHARED.get("fix") == fix:
+        return
     import pyarrow.parquet as pq
 
+    pages = pq.read_table(os.path.join(fix, "pages.parquet"),
+                          columns=["url", "text"])
+    seeds, stadte = _load_tables(fix)
+    _SHARED.update(
+        fix=fix,
+        pages_map=dict(
+            zip(pages.column("url").to_pylist(),
+                pages.column("text").to_pylist())
+        ),
+        stadte=stadte,
+        by_id={s["seed_id"]: s for s in seeds},
+    )
+
+
+def _worker(args):
+    """Parse one chunk of seeds; setup cost excluded from compute wall.
+
+    All workers rendezvous on a barrier BEFORE the timed compute, so the
+    measured windows fully overlap — without it, staggered startup means
+    worker k computes while worker j still imports, and ``max(per-worker
+    wall)`` under-measures the true concurrent wall (observed as a
+    spurious super-linear "efficiency" once the parse kernel got fast
+    enough that startup jitter rivaled compute)."""
+    seed_chunk, barrier, q = args
     from scrapy_crawler_german_real_estate_sites_spark.plans.simulator import (
         simulate,
     )
 
-    pages = pq.read_table(os.path.join(fix, "pages.parquet"),
-                          columns=["url", "text"])
-    pages_map = dict(
-        zip(pages.column("url").to_pylist(), pages.column("text").to_pylist())
-    )
-    seeds, stadte = _load_tables(fix)
-    by_id = {s["seed_id"]: s for s in seeds}
-    chunk = [by_id[sid] for sid in seed_chunk]
+    pages_map = _SHARED["pages_map"]
+    chunk = [_SHARED["by_id"][sid] for sid in seed_chunk]
+    stadte = _SHARED["stadte"]
     barrier.wait()
     t0 = time.time()
     res = simulate(pages_map, chunk, stadte, hour=7)
@@ -87,11 +108,12 @@ def _worker(args):
 
 
 def run_level(fix, seed_ids, workers):
+    _load_shared(fix)  # before fork: children inherit, no per-child copy
     chunks = [seed_ids[i::workers] for i in range(workers)]
     barrier = multiprocessing.Barrier(workers)
     q = multiprocessing.Queue()
     ps = [
-        multiprocessing.Process(target=_worker, args=((fix, c, barrier, q),))
+        multiprocessing.Process(target=_worker, args=((c, barrier, q),))
         for c in chunks
     ]
     [p.start() for p in ps]
