@@ -1288,6 +1288,139 @@ FROM sc GROUP BY doc_id
 # registry
 # ---------------------------------------------------------------------------
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-corpus line dedup (operators/dedup.py:line_dedup):
+    every line of >=5 words that occurs in more than one document keeps
+    only its first corpus-wide occurrence (min (doc_id, pos)); documents
+    are reassembled in original line order.  Two skew-safe equi-shuffles
+    (map-side-combinable keeper groupBy; AQE-splittable join-back)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    return line_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (
+  SELECT doc_id, lang, string_split(text, chr(10)) AS ls FROM documents
+), lines AS (
+  SELECT doc_id, lang, CAST(len(ls) AS BIGINT) AS n_lines,
+         unnest(ls) AS line, unnest(range(0, len(ls))) AS pos
+  FROM base
+), tagged AS (
+  SELECT *, len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5 AS longline,
+         doc_id * 1000000 + pos AS occ
+  FROM lines
+), keep AS (
+  SELECT line, min(occ) AS keep_occ FROM tagged WHERE longline GROUP BY line
+), kept AS (
+  SELECT t.* FROM tagged t LEFT JOIN keep k ON t.line = k.line
+  WHERE NOT t.longline OR t.occ = k.keep_occ
+)
+SELECT doc_id, max(lang) AS lang,
+       array_to_string(list(line ORDER BY pos), chr(10)) AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(max(n_lines) - count(*) AS BIGINT) AS n_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_dedup_normalized(spark, sf_dir):
+    """Normalized exact dedup (operators/dedup.py:dedup_normalized):
+    lowercase + strip non-letter/digit + collapse whitespace, then one
+    map-side-combinable groupBy on the md5 of the canonical form."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        dedup_normalized,
+    )
+
+    return dedup_normalized(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_NORMALIZED = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS cluster_key,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (functions/textops.py:redact_pii): emails -> <EMAIL>,
+    IPv4 -> <IP>, phone-length digit runs -> <PHONE>, plus per-doc counts.
+    Row-local regexp chain, zero shuffle.  The fixture documents carry no
+    planted PII, so the query deterministically plants some on every 7th
+    doc (mirrored in the oracle) to make the redaction observable."""
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        pii_counts, redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."), (F.col("doc_id") % 200).cast("string"),
+                F.lit("."), ((F.col("doc_id") * 7) % 250).cast("string"),
+                F.lit(" tel "), (F.col("doc_id") + 30000000).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return planted.select(
+        "doc_id",
+        *pii_counts(F.col("text")),
+        redact_pii(F.col("text")).alias("text_redacted"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 250 AS VARCHAR)
+                   || ' tel ' || CAST(doc_id + 30000000 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '\+?\b\d{7,15}\b')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\b\d{7,15}\b', '<PHONE>', 'g') AS text_redacted
+FROM planted
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain quota cap (operators/sampling.py:domain_cap): top-3 docs
+    per source by n_chars desc (doc_id tie-break) — executes as
+    WindowGroupLimit, so the shuffle moves O(sources x 3) rows."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        domain_cap,
+    )
+
+    return domain_cap(_t(spark, sf_dir, "documents"), k=3)
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1325,6 +1458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dataset_split": q_dataset_split,
+        "line_dedup": q_line_dedup,
+        "dedup_normalized": q_dedup_normalized,
+        "pii_redact": q_pii_redact,
+        "domain_cap": q_domain_cap,
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
     }
@@ -1385,5 +1522,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "dataset_split": _sql_dataset_split(),
+        "line_dedup": SQL_LINE_DEDUP,
+        "dedup_normalized": SQL_DEDUP_NORMALIZED,
+        "pii_redact": SQL_PII_REDACT,
+        "domain_cap": SQL_DOMAIN_CAP,
         "sitemap_cities": SQL_SITEMAP,
     }

@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "bm25_search",
     "doc_fingerprint",
     "dataset_split",
+    "line_dedup",
+    "dedup_normalized",
+    "pii_redact",
+    "domain_cap",
     "lang_freshness",
     "sessionize",
     "asof_attribution",

@@ -187,3 +187,41 @@ def fingerprint(text, n=5):
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
     )
     return F.md5(norm).alias("md5_fp"), F.array_min(shingle_hashes).alias("min_shingle_fp")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4 / phone-length digit runs)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and DuckDB's RE2 interpret
+# identically (character classes, bounded repeats, ASCII \b / \d — no
+# lookarounds, no backrefs) so the DuckDB oracle mirrors byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\b\d{7,15}\b"
+
+
+def redact_pii(text):
+    """Scrub emails, IPv4 addresses and phone-length digit runs from a text
+    column, in that order (emails first so their local parts can't later
+    match as digit runs; IPv4 before phone — octets are ≤3 digits so the
+    phone pattern can't eat an address, but a redacted ``<IP>`` token must
+    not leave digit fragments behind).  Pure ``regexp_replace`` chain:
+    JVM-side, codegen'd, embarrassingly row-local — the 100 TB cost is one
+    corpus pass with zero shuffle."""
+    step = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    step = F.regexp_replace(step, PII_IPV4, "<IP>")
+    return F.regexp_replace(step, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text):
+    """(n_emails, n_ips, n_phones) count columns over the ORIGINAL text.
+    The three patterns are mutually non-overlapping on real text (emails
+    carry no standalone \\b-delimited digit runs; IPv4 octets are too
+    short for the phone pattern), so counting before redaction is
+    order-independent — and therefore safe to mirror in SQL."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+    )

@@ -512,3 +512,109 @@ def dedup_embedding_cosine(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. cross-corpus line dedup (C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame, id_col="doc_id", text_col="text", min_words: int = 5,
+    carry_cols=("lang",),
+) -> DataFrame:
+    """C4-recipe corpus-level line deduplication (Raffel et al. 2020 §2.2 /
+    Dodge et al. 2021): a line that occurs in more than one document is
+    boilerplate (nav bars, footers, cookie banners) — keep only its FIRST
+    occurrence corpus-wide and drop every other copy, then reassemble the
+    documents.  Lines shorter than ``min_words`` words are always kept
+    (too short to be meaningful boilerplate; dropping every blank line of
+    every doc but one would mangle formatting, not remove boilerplate).
+
+    Deterministic keeper rule: the occurrence with the smallest
+    ``(doc_id, line_position)`` — encoded as ``doc_id * 1_000_000 + pos``
+    so a single BIGINT ``min`` (map-side combinable) picks it (documents
+    with ≥1M lines would need a wider encoding; no real corpus has them).
+
+    Scale shape: two equi-shuffles, both skew-safe.  The keeper table is
+    a partial-aggregatable ``groupBy(line).min`` — a billion-copy hot line
+    ("Accept cookies") collapses map-side to one row per task before the
+    exchange.  The join-back on ``line`` is a sort-merge equi-join whose
+    hot keys AQE's skew-join splitting handles (a window over
+    ``partitionBy(line)`` — the obvious alternative — would NOT be
+    skew-safe: every copy of the hot line lands in one task).  Reassembly
+    groups by ``id_col``, bounded by a single document.
+
+    Returns one row per surviving document: (doc_id, <carry_cols>,
+    text_dedup, n_kept, n_dropped).  Documents whose every line was a
+    dropped duplicate disappear (nothing left to emit).
+    """
+    carry = [c for c in carry_cols if c in docs.columns]
+    lines = docs.select(
+        id_col, *carry,
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "longline",
+        F.size(F.filter(F.split("line", " "), lambda x: x != "")) >= min_words,
+    ).withColumn("occ", F.col(id_col) * F.lit(1_000_000) + F.col("pos"))
+
+    keep = (
+        lines.where("longline")
+        .groupBy("line")
+        .agg(F.min("occ").alias("keep_occ"))
+    )
+    kept = (
+        lines.join(keep, "line", "left")
+        .where((~F.col("longline")) | (F.col("occ") == F.col("keep_occ")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            *[F.max(c).alias(c) for c in carry],
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_dedup"),
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.max("n_lines").alias("n_lines"),
+        )
+        .select(
+            id_col, *carry, "text_dedup", "n_kept",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. normalized exact dedup (case/punct/whitespace-insensitive)
+# ---------------------------------------------------------------------------
+
+def normalized_text_col(text):
+    """Canonical form for near-exact matching: lowercase, strip everything
+    that is not a letter/digit/whitespace (unicode classes), collapse
+    whitespace runs, trim.  Pure column expression — JVM-side, and
+    byte-for-byte mirrorable in DuckDB (RE2 shares ``\\p{L}``/``\\p{N}``)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", ""),
+            r"\s+", " ",
+        )
+    )
+
+
+def dedup_normalized(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Exact dedup over the normalized text: catches the trivially-edited
+    copies exact dedup misses (case changes, punctuation, reflowed
+    whitespace) without any pairwise similarity machinery.  Same scale
+    shape as ``dedup_exact``: one map-side-combinable groupBy on the
+    normalized-text hash.  Returns (cluster_key, keep_id, n_copies)."""
+    return (
+        docs.groupBy(F.md5(normalized_text_col(F.col(text_col))).alias("cluster_key"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )

@@ -19,7 +19,7 @@ the assignment oracle-checkable byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 8 hex chars = 32 bits of the md5 — uniform on [0, 2^32)
@@ -73,3 +73,28 @@ def dataset_split(
     s = docs.withColumn("split", split_col(id_col, valid_frac, salt))
     key = [strata_col, "split"] if strata_col else ["split"]
     return s.groupBy(*key).agg(F.count("*").alias("docs"))
+
+
+def domain_cap(
+    docs, group_col="source", k=3, order_col="n_chars", id_col="doc_id",
+):
+    """Per-domain quota capping — the crawl-balance operator that keeps a
+    handful of mega-domains from dominating a training corpus (the C4 /
+    RefinedWeb "cap documents per registered domain" step): keep the top
+    ``k`` documents per ``group_col``, ranked by ``order_col`` descending
+    with ``id_col`` as the deterministic tie-break.
+
+    Plan shape: a rank-filter window that Spark executes as
+    WindowGroupLimit — the per-partition top-k is pre-filtered map-side
+    BEFORE the exchange (each task forwards at most k rows per group), so
+    the shuffle moves O(groups × k) rows, not the corpus; a hot domain
+    costs its k survivors, not its million members."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+    )
+    return (
+        docs.select(id_col, group_col, order_col)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+    )

@@ -250,3 +250,65 @@ def test_embedding_lsh_blocking_subset_and_recall(spark):
     # bands is ~1e-4 per pair → demand >=90% pair recall
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# line dedup (C4-style cross-corpus boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_known_answer(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import line_dedup
+
+    boiler = "please accept our cookie banner before reading"
+    unique_a = "alpha content line with at least five words"
+    unique_b = "beta content line with at least five words"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nshort line\n{unique_a}", "en"),
+            (2, f"{boiler}\n{unique_b}", "en"),
+            (3, boiler, "en"),  # nothing but the duplicate -> vanishes
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # doc 1 holds the first occurrence: keeps everything
+    assert out[1].text_dedup == f"{boiler}\nshort line\n{unique_a}"
+    assert (out[1].n_kept, out[1].n_dropped) == (3, 0)
+    # doc 2 loses the boilerplate line but keeps its unique line
+    assert out[2].text_dedup == unique_b
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+    # doc 3 was only boilerplate -> no surviving row
+    assert 3 not in out
+
+
+def test_line_dedup_short_lines_always_kept(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hi\nok", "en"), (2, "hi\nok", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # every line is under the word threshold: both docs intact
+    assert out[1].text_dedup == "hi\nok" and out[2].text_dedup == "hi\nok"
+    assert out[1].n_dropped == 0 and out[2].n_dropped == 0
+
+
+def test_dedup_normalized_catches_trivial_edits(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        dedup_normalized,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (10, "Hello, World!  This is FINE."),
+            (11, "hello world this is fine"),          # same after normalize
+            (12, "HELLO   world -- this is \t fine?"),  # same after normalize
+            (13, "a genuinely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_normalized(docs).collect()
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep[10] == 3  # the three trivially-edited copies collapse
+    assert by_keep[13] == 1

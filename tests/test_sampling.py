@@ -103,3 +103,24 @@ def test_degenerate_fractions_are_exact(spark, docs):
     assert all_valid.where(F.col("s") == "valid").count() == n
     all_train = docs.withColumn("s", split_col("doc_id", 0.0))
     assert all_train.where(F.col("s") == "train").count() == n
+
+
+def test_domain_cap_known_answer_and_plan(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        domain_cap,
+    )
+
+    rows = [(i, "big.example", 100 - i) for i in range(10)]  # 10 docs, one domain
+    rows += [(100, "small.example", 5), (101, "small.example", 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_cap(docs, k=3)
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    # big domain capped at its 3 longest docs; ties broken by doc_id
+    assert got == [
+        ("big.example", 0), ("big.example", 1), ("big.example", 2),
+        ("small.example", 100), ("small.example", 101),
+    ]
+    # rank-filter must execute as the pre-shuffle group-limit, so the
+    # exchange moves O(groups x k) rows, not the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -176,3 +176,32 @@ def test_repetition_stats_known_answers(spark):
     assert rows[0]["top_bigram_frac"] > 0.8 and rows[0]["dup_5gram_frac"] == 0.0
     assert rows[1]["dup_5gram_frac"] > 3.0  # overlapping repeats stack mass
     assert rows[2]["dup_word_frac"] == 0.0
+
+
+def test_pii_redaction_known_answer(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.functions import textops as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+spam@mail-host.co.uk or call +4917612345678"),
+            (2, "server at 192.168.1.17 and backup at 8.8.8.8"),
+            (3, "order #123 costs 42 eur"),  # short digit runs untouched
+            (4, "ref 12345678901234567890 exceeds phone length"),  # 20 digits
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", *T.pii_counts(F.col("text")),
+            T.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[1].red == "write to <EMAIL> or call <PHONE>"
+    assert out[2].n_ips == 2 and out[2].red == "server at <IP> and backup at <IP>"
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    assert out[3].red == "order #123 costs 42 eur"
+    # 20-digit run is not phone-shaped (7-15): left alone
+    assert out[4].n_phones == 0 and "12345678901234567890" in out[4].red
