@@ -1421,6 +1421,101 @@ SELECT doc_id, source, n_chars, rk FROM (
 """
 
 
+def q_link_pagerank(spark, sf_dir):
+    """URL-graph PageRank (operators/graph.py): href edges extracted from
+    the page HTML by a pure JVM regexp pass, then 8 iterations of the
+    standard contributions dataflow with dangling-mass redistribution.
+    The crawl-priority centrality a Common-Crawl-scale frontier feeds on.
+    Oracle: the identical extraction + 8 unrolled iterations in SQL."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.graph import (
+        extract_edges, pagerank,
+    )
+
+    return pagerank(extract_edges(_fx(spark, sf_dir, "pages")), iters=8)
+
+
+def _sql_link_pagerank(iters: int = 8, d: float = 0.85) -> str:
+    sql = f"""
+WITH raw AS (
+  SELECT url AS src,
+         regexp_extract(url, '^(https?://[^/]+)', 1) AS base,
+         unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS link
+  FROM read_parquet('{_fp("pages")}')
+), resolved AS (
+  SELECT src,
+         regexp_replace(
+           CASE WHEN link LIKE 'http://%' OR link LIKE 'https://%' THEN link
+                WHEN link LIKE '/%' THEN base || link END, '#.*$', '') AS dst
+  FROM raw
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM resolved WHERE dst IS NOT NULL AND dst <> src
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT url
+  FROM (SELECT src AS url FROM edges UNION ALL SELECT dst AS url FROM edges)
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.r), 0.0) AS m FROM r{i} r
+  LEFT JOIN (SELECT DISTINCT src FROM outdeg) o ON r.url = o.src
+  WHERE o.src IS NULL),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS url, sum(r.r / o.deg) AS s
+  FROM r{i} r JOIN outdeg o ON r.url = o.src JOIN edges e ON e.src = r.url
+  GROUP BY 1),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.url,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.s, 0.0) + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS r
+  FROM nodes n LEFT JOIN c{i} c ON n.url = c.url)"""
+    return sql + f"\nSELECT url, r * (SELECT n FROM nn) AS rank_mass FROM r{iters}"
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link target (operators/graph.py):
+    in-anchor count, distinct-anchor count, and most-frequent anchor
+    (count desc, text asc tie-break) — map-side-combinable (dst, anchor)
+    rollup + WindowGroupLimit top-1."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.graph import (
+        anchor_text,
+    )
+
+    return anchor_text(_fx(spark, sf_dir, "pages"))
+
+
+SQL_ANCHOR_TEXT = f"""
+WITH tags AS (
+  SELECT regexp_extract(url, '^(https?://[^/]+)', 1) AS base,
+         unnest(regexp_extract_all(text, '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS tag
+  FROM read_parquet('{_fp("pages")}')
+), pairs AS (
+  SELECT regexp_replace(
+           CASE WHEN regexp_extract(tag, 'href="([^"]+)"', 1) LIKE 'http://%'
+                  OR regexp_extract(tag, 'href="([^"]+)"', 1) LIKE 'https://%'
+                THEN regexp_extract(tag, 'href="([^"]+)"', 1)
+                WHEN regexp_extract(tag, 'href="([^"]+)"', 1) LIKE '/%'
+                THEN base || regexp_extract(tag, 'href="([^"]+)"', 1) END,
+           '#.*$', '') AS dst,
+         regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+  FROM tags
+), counts AS (
+  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs WHERE dst IS NOT NULL AND anchor <> '' GROUP BY 1, 2
+), ranked AS (
+  SELECT dst, anchor,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor) AS rk,
+         sum(cnt) OVER (PARTITION BY dst) AS tot,
+         count(*) OVER (PARTITION BY dst) AS uniq
+  FROM counts
+)
+SELECT dst, CAST(tot AS BIGINT) AS n_anchors,
+       CAST(uniq AS BIGINT) AS n_unique_anchors, anchor AS top_anchor
+FROM ranked WHERE rk = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1462,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "pii_redact": q_pii_redact,
         "domain_cap": q_domain_cap,
+        "link_pagerank": q_link_pagerank,
+        "anchor_text": q_anchor_text,
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
     }
@@ -1526,5 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "pii_redact": SQL_PII_REDACT,
         "domain_cap": SQL_DOMAIN_CAP,
+        "link_pagerank": _sql_link_pagerank(),
+        "anchor_text": SQL_ANCHOR_TEXT,
         "sitemap_cities": SQL_SITEMAP,
     }

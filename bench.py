@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "dedup_normalized",
     "pii_redact",
     "domain_cap",
+    "link_pagerank",
+    "anchor_text",
     "lang_freshness",
     "sessionize",
     "asof_attribution",

@@ -1,0 +1,171 @@
+"""Link-graph analytics over the north-rule pages table.
+
+The reference crawler's frontier priority is purely structural (depth +
+listing-page heuristics, SURVEY §2.2); at Common-Crawl scale the standard
+upgrade is link-graph centrality — PageRank over the URL graph extracted
+from the fetched HTML — feeding the frontier priority queue, plus
+anchor-text aggregation per target URL (the classic web-corpus signal for
+both ranking and training data).  This module implements both Spark-first:
+
+* edge extraction is a pure JVM regexp pass (``regexp_extract_all`` on the
+  page HTML — no Python in the hot path), restricted to syntax Java regex
+  and DuckDB's RE2 interpret identically so the oracle mirrors the
+  extraction byte-for-byte;
+* PageRank is the standard iterative dataflow (contributions join +
+  per-destination sum), with per-iteration ``localCheckpoint`` to truncate
+  lineage (same discipline as ``operators/cluster.py``'s connected
+  components) and only O(1) scalars (the dangling-rank mass) crossing the
+  driver per iteration.
+
+Scale shape (the 10^10-URL question): edges are materialized once and
+cached partitioned by ``src``, so the per-iteration ranks⋈edges join
+reuses one side's layout; the contribution shuffle keyed by ``dst`` is
+inherent to the algorithm and skew-bounded by AQE skew-join splitting
+(hub pages — a portal's start page with 10^6 in-links — split across
+tasks; the per-dst sum is a partial-aggregatable groupBy, so a hub's
+contributions collapse map-side before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java∩RE2 patterns (mirrored verbatim in the DuckDB oracles).
+HREF_RE = r'href="([^"]+)"'
+ATAG_RE = r'<a [^>]*href="[^"]*"[^>]*>[^<]*</a>'
+PREFIX_RE = r"^(https?://[^/]+)"
+
+
+def resolve_link(base, link):
+    """Resolve an href against its page's scheme+host prefix: absolute
+    http(s) links pass through, root-relative links concatenate, anything
+    else (javascript:, mailto:, protocol-relative, fragments) drops to
+    NULL.  Fragments are stripped.  Pure column expression."""
+    absolute = link.startswith("http://") | link.startswith("https://")
+    resolved = (
+        F.when(absolute, link)
+        .when(link.startswith("/"), F.concat(base, link))
+    )  # otherwise NULL
+    return F.regexp_replace(resolved, "#.*$", "")
+
+
+def extract_edges(pages: DataFrame, url_col="url", html_col="text") -> DataFrame:
+    """Distinct (src, dst) URL edges from the pages' HTML hrefs.
+
+    One narrow scan + explode; the only exchange is the ``distinct`` —
+    map-side combinable, and a boilerplate link repeated on every page of
+    a host collapses per-task before the shuffle."""
+    base = F.regexp_extract(F.col(url_col), PREFIX_RE, 1)
+    raw = pages.select(
+        F.col(url_col).alias("src"),
+        base.alias("base"),
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)).alias(
+            "link"
+        ),
+    )
+    dst = resolve_link(F.col("base"), F.col("link"))
+    return (
+        raw.select("src", dst.alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 8, damping: float = 0.85
+) -> DataFrame:
+    """Iterative PageRank over a (src, dst) edge DataFrame.
+
+    Returns (url, rank_mass) for every node (union of srcs and dsts),
+    where ``rank_mass = rank * n_nodes`` — the size-free centrality (1.0 =
+    the rank a uniform graph would give), which also keeps the values
+    O(1) so a 6-decimal comparison is meaningful at any graph size.
+
+    Dangling nodes (no out-edges) redistribute their rank uniformly — the
+    standard Page et al. 1999 treatment — via a single per-iteration
+    driver scalar (their summed rank), the same O(1)-per-round discipline
+    as the connected-components fixpoint signature.  Each iteration
+    ``localCheckpoint``s the ranks so lineage stays flat and the scalar
+    collect reads materialized data.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("url"))
+        .union(edges.select(F.col("dst").alias("url")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()  # O(1) driver scalar, also materializes the cache
+    outdeg = (
+        edges.groupBy("src").agg(F.count("*").cast("double").alias("deg")).cache()
+    )
+    edges = edges.cache()
+
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        dangling = (
+            ranks.join(outdeg, ranks["url"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            ranks.join(outdeg, ranks["url"] == outdeg["src"])
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("url"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "url", "left")
+            .select(
+                "url",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("url", (F.col("r") * F.lit(float(n))).alias("rank_mass"))
+
+
+def anchor_text(pages: DataFrame, url_col="url", html_col="text") -> DataFrame:
+    """Anchor-text aggregation per target URL: for every link target, the
+    total in-anchor count, the number of distinct anchor strings, and the
+    most frequent anchor (largest count, lexicographically-smallest text
+    as the deterministic tie-break).
+
+    Two-level aggregate: the (dst, anchor) groupBy is map-side combinable
+    (a hub's million identical "Details" anchors collapse per task), and
+    the top-1-per-dst rank filter executes as WindowGroupLimit so the
+    second exchange moves O(dst) rows."""
+    from pyspark.sql import Window
+
+    base = F.regexp_extract(F.col(url_col), PREFIX_RE, 1)
+    tags = pages.select(
+        base.alias("base"),
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(ATAG_RE), 0)).alias(
+            "tag"
+        ),
+    )
+    link = F.regexp_extract(F.col("tag"), HREF_RE, 1)
+    anchor = F.regexp_extract(F.col("tag"), r">([^<]*)</a>", 1)
+    pairs = tags.select(
+        resolve_link(F.col("base"), link).alias("dst"), anchor.alias("anchor")
+    ).where(F.col("dst").isNotNull() & (F.col("anchor") != ""))
+
+    counts = pairs.groupBy("dst", "anchor").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("anchor"))
+    totals = counts.groupBy("dst").agg(
+        F.sum("cnt").cast("bigint").alias("n_anchors"),
+        F.count("*").cast("bigint").alias("n_unique_anchors"),
+    )
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"))
+    )
+    return totals.join(top, "dst")
