@@ -1421,6 +1421,46 @@ SELECT doc_id, source, n_chars, rk FROM (
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based host rebalancing (operators/sampling.py:
+    temperature_mix): p_s ∝ n_s^0.6 over the crawl's per-host page
+    counts, 60k-page budget, salted-md5 per-row membership — the
+    data-mixing step that stops the mega-portals from dominating a
+    training corpus.  Oracle mirrors pow/round/threshold byte-for-byte."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    p = _fx(spark, sf_dir, "pages").select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("source"), "url"
+    )
+    return temperature_mix(p, alpha=0.6, budget=60_000)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH p AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS source, url
+  FROM read_parquet('{_fp("pages")}')
+), c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs FROM p GROUP BY 1),
+pw AS (SELECT source, n_docs, pow(n_docs, 0.6) AS pp FROM c),
+t AS (SELECT sum(pp) AS tp FROM pw),
+d AS (SELECT source, n_docs, pp / (SELECT tp FROM t) AS weight FROM pw),
+d2 AS (SELECT source, n_docs, weight,
+              least(1.0, round((60000.0 * weight) / n_docs, 9)) AS keep_frac
+       FROM d),
+d3 AS (SELECT *, printf('%08x', CAST(floor(keep_frac * 4294967296.0) AS BIGINT)) AS thr
+       FROM d2),
+k AS (SELECT p.source, d3.n_docs, d3.weight, d3.keep_frac,
+             CASE WHEN d3.keep_frac >= 1.0
+                    OR substr(md5('mix-v1:' || p.url), 1, 8) < d3.thr
+                  THEN 1 ELSE 0 END AS kept
+      FROM p JOIN d3 USING (source))
+SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs, max(weight) AS weight,
+       max(keep_frac) AS keep_frac, CAST(sum(kept) AS BIGINT) AS n_kept
+FROM k GROUP BY source
+"""
+
+
 def q_link_pagerank(spark, sf_dir):
     """URL-graph PageRank (operators/graph.py): href edges extracted from
     the page HTML by a pure JVM regexp pass, then 8 iterations of the
@@ -1559,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "link_pagerank": q_link_pagerank,
         "anchor_text": q_anchor_text,
+        "temperature_mix": q_temperature_mix,
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
     }
@@ -1625,5 +1666,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": SQL_DOMAIN_CAP,
         "link_pagerank": _sql_link_pagerank(),
         "anchor_text": SQL_ANCHOR_TEXT,
+        "temperature_mix": SQL_TEMPERATURE_MIX,
         "sitemap_cities": SQL_SITEMAP,
     }

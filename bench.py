@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "link_pagerank",
     "anchor_text",
+    "temperature_mix",
     "lang_freshness",
     "sessionize",
     "asof_attribution",

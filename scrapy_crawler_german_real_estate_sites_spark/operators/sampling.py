@@ -98,3 +98,81 @@ def domain_cap(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= k)
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.6,
+    budget: int = 60_000,
+    group_col: str = "source",
+    id_col: str = "url",
+    salt: str = "mix-v1",
+    audit: bool = True,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the data-mixing step that
+    keeps a handful of mega-sources from dominating a training corpus
+    while still over-sampling the long tail (the multinomial
+    ``p_s ∝ n_s^alpha`` recipe of Lample & Conneau 2019 / common-crawl
+    curriculum mixes; ``alpha=1`` reproduces natural proportions,
+    ``alpha=0`` uniform).
+
+    Per-source keep fraction: ``frac_s = min(1, budget * w_s / n_s)`` with
+    ``w_s = n_s^alpha / Σ n_s^alpha``; each row keeps independently when
+    the 32-bit prefix of ``md5(salt || id)`` falls under the fraction —
+    the same salted-hash primitive as ``dataset_split``, so membership is
+    deterministic, stable under corpus growth, and engine-portable.
+
+    Cross-engine determinism: ``frac_s`` is rounded to 9 decimals BEFORE
+    the threshold compare on both engines, so a 1-ulp ``pow``/sum
+    difference between Java and C libm can't flip a row; the threshold is
+    the fraction scaled to 2^32, floored, and formatted as the 8-hex-char
+    string the hash prefix compares against lexicographically (with the
+    ``frac >= 1`` clamp short-circuiting the compare — the degenerate
+    '100000000' 9-char threshold never forms).
+
+    Scale shape: the per-source dimension is O(sources) rows (one
+    map-side-combinable count), broadcast back onto the corpus; the keep
+    decision is a row-local hash compare (zero shuffle over the corpus);
+    the audit is a second map-side-combinable rollup.  Returns the
+    per-source audit (source, n_docs, weight, keep_frac, n_kept) when
+    ``audit=True``, else the kept rows themselves.
+    """
+    counts = docs.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    pows = counts.withColumn("p", F.pow("n_docs", F.lit(alpha)))
+    tot = pows.agg(F.sum("p").alias("tp"))
+    dims = (
+        pows.crossJoin(F.broadcast(tot))
+        .withColumn("weight", F.col("p") / F.col("tp"))
+        .withColumn(
+            "keep_frac",
+            F.least(
+                F.lit(1.0),
+                F.round((F.lit(float(budget)) * F.col("weight")) / F.col("n_docs"), 9),
+            ),
+        )
+        .withColumn(
+            "thr",
+            F.format_string(
+                "%08x", F.floor(F.col("keep_frac") * F.lit(float(_BUCKETS))).cast("bigint")
+            ),
+        )
+    )
+    keyed = docs.join(F.broadcast(dims), group_col)
+    keep = (F.col("keep_frac") >= 1.0) | (
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col))), 1, 8)
+        < F.col("thr")
+    )
+    if not audit:
+        return keyed.where(keep).drop("n_docs", "p", "tp", "weight", "keep_frac", "thr")
+    return (
+        keyed.withColumn("kept", keep.cast("int"))
+        .groupBy(group_col)
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.max("weight").alias("weight"),
+            F.max("keep_frac").alias("keep_frac"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )

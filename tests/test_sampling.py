@@ -124,3 +124,52 @@ def test_domain_cap_known_answer_and_plan(spark):
     # exchange moves O(groups x k) rows, not the corpus
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mix_matches_python_reference(spark):
+    import hashlib
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    sizes = {"big.example": 200, "mid.example": 40, "tiny.example": 3}
+    rows = [
+        (s, f"https://{s}/doc/{i}") for s, n in sizes.items() for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "source string, url string")
+    alpha, budget = 0.6, 120
+    out = {r.source: r for r in
+           temperature_mix(docs, alpha=alpha, budget=budget).collect()}
+
+    tp = sum(n ** alpha for n in sizes.values())
+    for s, n in sizes.items():
+        w = n ** alpha / tp
+        frac = min(1.0, round(budget * w / n, 9))
+        assert out[s].n_docs == n
+        assert out[s].weight == pytest.approx(w, abs=1e-12)
+        assert out[s].keep_frac == pytest.approx(frac, abs=1e-12)
+        thr = format(int(frac * (1 << 32)), "08x")
+        kept = sum(
+            1 for i in range(n)
+            if frac >= 1.0
+            or hashlib.md5(f"mix-v1:https://{s}/doc/{i}".encode()).hexdigest()[:8] < thr
+        )
+        assert out[s].n_kept == kept
+    # the tiny source is upweighted past its size -> fully kept
+    assert out["tiny.example"].keep_frac == 1.0
+    assert out["tiny.example"].n_kept == 3
+
+
+def test_temperature_mix_budget_covers_corpus(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(20)] + [("b", f"v{i}") for i in range(10)],
+        "source string, url string",
+    )
+    out = temperature_mix(docs, alpha=1.0, budget=1000).collect()
+    # alpha=1 reproduces natural proportions; a budget over the corpus
+    # size keeps everything
+    assert all(r.n_kept == r.n_docs and r.keep_frac == 1.0 for r in out)
