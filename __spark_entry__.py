@@ -1421,6 +1421,55 @@ SELECT doc_id, source, n_chars, rk FROM (
 """
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Duplicated-substring mass per doc (operators/dedup.py:
+    substring_dedup) — the ExactSubstr criterion (Lee et al. 2021) as a
+    shuffle-friendly rolling-window-hash dataflow: any 12-token span seen
+    earlier anywhere in the corpus marks its tokens duplicated; spans are
+    interval-unioned per doc."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    return substring_dedup(_t(spark, sf_dir, "documents"), window=12)
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, len(toks) - 11) AS BIGINT) AS n_windows, toks
+  FROM t
+), w AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos + 1 : pos + 12], ' ')) AS h,
+         doc_id * 1000000 + pos AS occ
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 11)) AS pos
+        FROM b WHERE len(toks) >= 12)
+), keep AS (
+  SELECT h, min(occ) AS keep_occ FROM w GROUP BY h
+), dup AS (
+  SELECT w.doc_id, w.pos FROM w JOIN keep k ON w.h = k.h WHERE w.occ <> k.keep_occ
+), covered AS (
+  SELECT doc_id,
+         coalesce(least(12, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), 12) AS contrib
+  FROM dup
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(contrib) AS BIGINT) AS dup_tokens
+  FROM covered GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+         / CAST(greatest(1, b.n_tokens) AS DOUBLE) AS dup_frac
+FROM b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based host rebalancing (operators/sampling.py:
     temperature_mix): p_s ∝ n_s^0.6 over the crawl's per-host page
@@ -1600,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "anchor_text": q_anchor_text,
         "temperature_mix": q_temperature_mix,
+        "substring_dedup": q_substring_dedup,
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
     }
@@ -1667,5 +1717,6 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _sql_link_pagerank(),
         "anchor_text": SQL_ANCHOR_TEXT,
         "temperature_mix": SQL_TEMPERATURE_MIX,
+        "substring_dedup": SQL_SUBSTRING_DEDUP,
         "sitemap_cities": SQL_SITEMAP,
     }

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "anchor_text",
     "temperature_mix",
+    "substring_dedup",
     "lang_freshness",
     "sessionize",
     "asof_attribution",

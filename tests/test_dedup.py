@@ -312,3 +312,53 @@ def test_dedup_normalized_catches_trivial_edits(spark):
     by_keep = {r.keep_id: r.n_copies for r in out}
     assert by_keep[10] == 3  # the three trivially-edited copies collapse
     assert by_keep[13] == 1
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring detection (ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+def test_substring_dedup_known_answer(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(14))   # a 14-token run
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),            # first occurrence: clean
+            (2, "head1 head2 " + shared),            # repeats the run
+            (3, "totally unique words " + " ".join(f"u{i}" for i in range(12))),
+            (4, "too short"),                         # under the window
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, window=12).collect()}
+    # doc 1 holds every first occurrence -> zero duplicated mass
+    assert out[1].n_dup_windows == 0 and out[1].dup_tokens == 0
+    # doc 2: the 14 shared tokens give 3 duplicated windows at positions
+    # 2,3,4 whose interval union is 12 + 1 + 1 = 14 tokens
+    assert out[2].n_dup_windows == 3
+    assert out[2].dup_tokens == 14
+    assert out[2].dup_frac == pytest.approx(14 / 16)
+    assert out[3].dup_tokens == 0
+    assert (out[4].n_windows, out[4].dup_tokens) == (0, 0)
+
+
+def test_substring_dedup_disjoint_spans_sum(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    a = " ".join(f"a{i}" for i in range(12))
+    b = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, a), (2, b),
+            (3, a + " gap1 gap2 gap3 " + b),  # two disjoint duplicated spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, window=12).collect()}
+    # both 12-token spans duplicated, separated by >window gap -> 24 tokens
+    assert out[3].n_dup_windows == 2 and out[3].dup_tokens == 24
