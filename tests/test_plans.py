@@ -36,6 +36,9 @@ BNLJ_OK = {
     "bm25_search",
     # exact brute-force baseline: broadcast query set × corpus by design
     "embedding_topk",
+    # 1-row normalizer scalar (Σ n_s^alpha) broadcast onto the O(sources)
+    # dimension — the corpus itself joins via broadcast HASH join
+    "temperature_mix",
 }
 
 # iterative / crawl-driving queries: plan shape covered by the engine's
