@@ -148,3 +148,60 @@ def run_available_now(stream_df: DataFrame, out_dir: str, ckpt_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+_SEEN_STATE = "n_seen long"
+_SEEN_OUT = "content_md5 string, url string, warc_ts timestamp, prior_seen long"
+
+
+def _first_seen_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-content-hash dedup state: emit each NEW row exactly once (with
+    how many copies were already seen — 0 for a true first sight), swallow
+    every later copy.  State is one long per distinct content hash."""
+    n_seen = state.get[0] if state.exists else 0
+    out = []
+    for pdf in pdfs:
+        for row in pdf.sort_values(["warc_ts", "url"]).itertuples(index=False):
+            if n_seen == 0:
+                out.append((key[0], row.url, row.warc_ts, 0))
+            n_seen += 1
+    state.update((n_seen,))
+    yield pd.DataFrame(
+        out, columns=["content_md5", "url", "warc_ts", "prior_seen"]
+    )
+
+
+def dedup_stream(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup at ingest — the streaming face of
+    ``operators/dedup.py:dedup_exact``: a continuously-arriving page/doc
+    stream is keyed by content md5 and only the first copy of each
+    content survives, across micro-batches and restarts (the dedup state
+    rides the checkpoint).  The batch dedup reprocesses the corpus per
+    run; this keeps a 100 TB ingest incremental — each new page costs one
+    state lookup, not a corpus-wide groupBy.
+
+    Scale shape: ``applyInPandasWithState`` state is hash-partitioned by
+    the content key across executors (the same sharding as the batch
+    groupBy), so state size per task is bounded by its key range and a
+    hot duplicate only ever touches one task's single counter row.
+
+    Input: streaming (url, warc_ts, <text_col>).  Output: append-mode
+    (content_md5, url, warc_ts, prior_seen) — one row per distinct
+    content, ``prior_seen`` > 0 only when an earlier micro-batch's state
+    already held copies (possible after at-least-once replays; 0 in
+    exactly-once runs).
+    """
+    keyed = pages.select(
+        F.md5(F.col(text_col)).alias("content_md5"), "url", "warc_ts"
+    )
+    return keyed.groupBy("content_md5").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=_SEEN_OUT,
+        stateStructType=_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

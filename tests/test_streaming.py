@@ -131,3 +131,48 @@ def test_dup_streak_stateful(spark, tmp_path):
     for r in s2.itertuples(index=False):
         streak = streak + 1 if (r.event_seq % 3 != 0) else 0
         assert r.streak == streak
+
+
+def test_dedup_stream_incremental_across_batches(spark, tmp_path):
+    """Two micro-batches with overlapping content: batch-2 copies of
+    batch-1 content must be swallowed by the checkpointed state, and
+    duplicates within one batch collapse to the earliest (warc_ts, url)."""
+    import pandas as _pd
+    from scrapy_crawler_german_real_estate_sites_spark.streaming.stream import (
+        dedup_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(str(drop))
+        run_available_now(dedup_stream(stream), out, ck)
+
+    t0 = _pd.Timestamp("2021-05-01 06:00:00")
+    b1 = _pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "warc_ts": [t0, t0 + _pd.Timedelta(seconds=1), t0],
+        "text": ["alpha", "beta", "alpha"],   # u3 duplicates u1 in-batch
+    })
+    b1.to_parquet(drop / "b1.parquet", coerce_timestamps="us")
+    drain()
+    got1 = {r.url: r for r in spark.read.parquet(out).collect()}
+    # in-batch dup collapsed: earliest (warc_ts, url) wins -> u1 kept
+    assert set(got1) == {"u1", "u2"}
+    assert got1["u1"].prior_seen == 0
+
+    b2 = _pd.DataFrame({
+        "url": ["u4", "u5"],
+        "warc_ts": [t0 + _pd.Timedelta(seconds=5)] * 2,
+        "text": ["beta", "gamma"],            # u4 duplicates batch-1's u2
+    })
+    b2.to_parquet(drop / "b2.parquet", coerce_timestamps="us")
+    drain()
+    got2 = {r.url: r for r in spark.read.parquet(out).collect()}
+    # cross-batch dup swallowed by state; only the new content surfaces
+    assert set(got2) == {"u1", "u2", "u5"}
+    assert got2["u5"].prior_seen == 0
