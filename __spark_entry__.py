@@ -1470,6 +1470,76 @@ FROM b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The composed hygiene pipeline (operators/pipeline.py:clean_corpus):
+    quality gate → exact dedup → normalized dedup → line dedup → PII
+    redaction → split assignment, all cross-engine-verified as ONE query —
+    the composition itself is what a refactor breaks silently."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.pipeline import (
+        clean_corpus,
+    )
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+def _sql_corpus_clean() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        split_threshold_hex,
+    )
+
+    sql = r"""
+WITH quality AS MATERIALIZED (
+  SELECT doc_id FROM (@QUALITY@) WHERE keep
+), s0 AS (
+  SELECT d.* FROM documents d JOIN quality q USING (doc_id)
+), ex AS (
+  SELECT min(doc_id) AS keep_id FROM s0 GROUP BY md5(text)
+), s1 AS (
+  SELECT s0.* FROM s0 JOIN ex ON s0.doc_id = ex.keep_id
+), nm AS (
+  SELECT min(doc_id) AS keep_id FROM s1
+  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')))
+), s2 AS (
+  SELECT s1.* FROM s1 JOIN nm ON s1.doc_id = nm.keep_id
+), lbase AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2
+), llines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos FROM lbase
+), ltag AS (
+  SELECT *, len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5 AS longline,
+         doc_id * 1000000 + pos AS occ
+  FROM llines
+), lkeep AS (
+  SELECT line, min(occ) AS keep_occ FROM ltag WHERE longline GROUP BY line
+), lkept AS (
+  SELECT t.doc_id, t.pos, t.line FROM ltag t LEFT JOIN lkeep k ON t.line = k.line
+  WHERE NOT t.longline OR t.occ = k.keep_occ
+), ld AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text_dedup
+  FROM lkept GROUP BY doc_id
+), s3 AS (
+  SELECT s2.doc_id, s2.lang, s2.source, s2.n_chars, ld.text_dedup AS txt
+  FROM s2 JOIN ld USING (doc_id)
+)
+SELECT doc_id, lang, source, n_chars,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\b\d{7,15}\b', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(txt, '\+?\b\d{7,15}\b')) AS BIGINT) AS n_phones,
+       CASE WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) < '@THR@'
+            THEN 'valid' ELSE 'train' END AS split
+FROM s3
+"""
+    return (
+        sql.replace("@QUALITY@", _sql_quality_filter())
+        .replace("@THR@", split_threshold_hex(0.05))
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based host rebalancing (operators/sampling.py:
     temperature_mix): p_s ∝ n_s^0.6 over the crawl's per-host page
@@ -1650,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": q_anchor_text,
         "temperature_mix": q_temperature_mix,
         "substring_dedup": q_substring_dedup,
+        "corpus_clean": q_corpus_clean,
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
     }
@@ -1718,5 +1789,6 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": SQL_ANCHOR_TEXT,
         "temperature_mix": SQL_TEMPERATURE_MIX,
         "substring_dedup": SQL_SUBSTRING_DEDUP,
+        "corpus_clean": _sql_corpus_clean(),
         "sitemap_cities": SQL_SITEMAP,
     }

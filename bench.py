@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "anchor_text",
     "temperature_mix",
     "substring_dedup",
+    "corpus_clean",
     "lang_freshness",
     "sessionize",
     "asof_attribution",
