@@ -40,6 +40,7 @@ def select_batch(
     default_delay: float = 10.0,
     default_concurrent: int = 1,
     token_scale: float = 1.0,
+    delays: DataFrame | None = None,
 ) -> DataFrame:
     """pending: (seed_id, fifo_seq, url, kind, netloc, meta, not_before, depth)
     state:   (seed_id, scraped, budget, spider_stop, stopped)
@@ -53,6 +54,7 @@ def select_batch(
         pending, state, robots, iter_no,
         iter_seconds=iter_seconds, default_delay=default_delay,
         default_concurrent=default_concurrent, token_scale=token_scale,
+        delays=delays,
     ).where(F.col("sel")).drop("sel")
 
 
@@ -65,6 +67,7 @@ def tag_batch(
     default_delay: float = 10.0,
     default_concurrent: int = 1,
     token_scale: float = 1.0,
+    delays: DataFrame | None = None,
 ) -> DataFrame:
     """Fused form of :func:`select_batch`: returns the pending set (minus
     stopped seeds) with a boolean ``sel`` column marking the wave batch,
@@ -117,11 +120,18 @@ def tag_batch(
             "netloc",
             "left",
         )
-        tokens = (
-            F.ceil(
-                F.lit(iter_seconds)
-                / F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+        delay_expr = F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay))
+        if delays is not None:
+            # P3 AutoThrottle: the folded per-netloc delay can only SLOW a
+            # host below its static/robots rate, never speed it up
+            p = p.join(
+                F.broadcast(delays.select("netloc", "delay_s")), "netloc", "left"
             )
+            delay_expr = F.greatest(
+                F.coalesce(F.col("delay_s"), F.lit(0.0)), delay_expr
+            )
+        tokens = (
+            F.ceil(F.lit(iter_seconds) / delay_expr)
             * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
             * F.lit(token_scale)
         ).cast("long")
@@ -150,3 +160,90 @@ def robots_filter(links: DataFrame, robots: DataFrame):
     allowed = l.where(~blocked_cond).drop("disallow_prefixes")
     blocked = l.where(blocked_cond).drop("disallow_prefixes")
     return allowed, blocked
+
+
+# ---------------------------------------------------------------------------
+# P3: AutoThrottle — latency-feedback delay controller
+# ---------------------------------------------------------------------------
+# The reference ENABLES AutoThrottle (settings.py:95-104:
+# AUTOTHROTTLE_ENABLED=True, START_DELAY=5, MAX_DELAY=35, target
+# concurrency default 1.0) with DOWNLOAD_DELAY=10 as the floor, so its
+# effective per-slot delay lives in [10, 35] and follows Scrapy's
+# published adjustment rule (scrapy/extensions/throttle.py):
+#
+#   target_delay = latency / target_concurrency
+#   new = (prev + target_delay) / 2
+#   new = max(target_delay, new)            # never undershoot the target
+#   new = clamp(new, min_delay, max_delay)
+#   non-OK responses may only increase the delay
+#
+# Scrapy folds this per response inside one process; the distributed form
+# folds it per netloc over the wave's responses in fetch order
+# (applyInPandas — each netloc's fold is a tiny sequential scalar loop),
+# returning O(netlocs) rows to the driver, which feeds the next wave's
+# token bucket.
+
+AT_START_DELAY = 5.0
+AT_MAX_DELAY = 35.0
+AT_TARGET_CONCURRENCY = 1.0
+
+
+def autothrottle_update(
+    prev_delay: float,
+    latency: float,
+    ok: bool = True,
+    min_delay: float = 10.0,
+    max_delay: float = AT_MAX_DELAY,
+    target_concurrency: float = AT_TARGET_CONCURRENCY,
+) -> float:
+    """One response's delay adjustment (Scrapy's _adjust_delay rule)."""
+    target = latency / target_concurrency
+    new = (prev_delay + target) / 2.0
+    new = max(target, new)
+    new = min(max(min_delay, new), max_delay)
+    if not ok and new <= prev_delay:
+        return prev_delay
+    return new
+
+
+def autothrottle_fold(
+    responses: DataFrame,
+    start_delays: dict | None = None,
+    min_delay: float = 10.0,
+    max_delay: float = AT_MAX_DELAY,
+    target_concurrency: float = AT_TARGET_CONCURRENCY,
+) -> dict:
+    """Fold :func:`autothrottle_update` over one wave's responses.
+
+    responses: (netloc, fifo_seq, latency_s, ok) — the wave's fetched rows.
+    start_delays: {netloc: delay} carried from the previous wave (absent
+    netlocs start at AT_START_DELAY, like a fresh Scrapy slot).
+
+    Each netloc's fold runs where its rows live (``applyInPandas`` keyed
+    by netloc — the same partitioning as the token bucket), and exactly
+    one (netloc, delay) row per HOST crosses to the driver: O(netlocs)
+    driver state, consistent with the engine's O(seeds) doctrine.
+    """
+    import pandas as pd
+
+    starts = dict(start_delays or {})
+
+    def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d = starts.get(key[0], AT_START_DELAY)
+        for row in pdf.sort_values("fifo_seq").itertuples(index=False):
+            d = autothrottle_update(
+                d, float(row.latency_s), bool(row.ok),
+                min_delay=min_delay, max_delay=max_delay,
+                target_concurrency=target_concurrency,
+            )
+        return pd.DataFrame({"netloc": [key[0]], "delay_s": [d]})
+
+    out = (
+        responses.select("netloc", "fifo_seq", "latency_s", "ok")
+        .groupBy("netloc")
+        .applyInPandas(fold, "netloc string, delay_s double")
+        .collect()
+    )
+    new = dict(starts)
+    new.update({r["netloc"]: r["delay_s"] for r in out})
+    return new

@@ -274,6 +274,15 @@ class CrawlEngine:
         #   every fetched/dup row to the driver per wave — O(fetched rows)
         #   driver memory, for the parity/resume test suites only.  Default
         #   OFF so production paths never collect per-row state.
+        autothrottle: bool = False,  # P3: latency-feedback delay control
+        #   (reference settings.py:95-104).  Off by default so the parity
+        #   suites see the reference's effective schedule unchanged; when
+        #   on, each wave folds Scrapy's delay-adjustment rule per netloc
+        #   over the wave's responses and the NEXT wave's token bucket
+        #   uses the greater of the folded delay and the static/robots
+        #   delay.  No real network in the sandbox, so latency is the
+        #   deterministic stand-in bytes/50KBps + 200ms; on a cluster the
+        #   fetch UDF's measured wall time plugs into the same column.
     ):
         self.spark = spark
         self.fix_dir = fix_dir
@@ -287,6 +296,8 @@ class CrawlEngine:
         self.checkpoint_every = checkpoint_every
         self.track_order = track_order
         self.epoch = int(epoch)
+        self.autothrottle = autothrottle
+        self.at_delays: dict = {}  # netloc -> folded AutoThrottle delay
 
         from ..sources import tables
 
@@ -402,9 +413,16 @@ class CrawlEngine:
 
     # ---------------------------------------------------------------
     def _tag(self, pending_df: DataFrame, iter_no: int) -> DataFrame:
+        delays = None
+        if self.autothrottle and self.at_delays:
+            delays = self.spark.createDataFrame(
+                sorted((k, float(v)) for k, v in self.at_delays.items()),
+                "netloc string, delay_s double",
+            )
         return politeness.tag_batch(
             pending_df, self._state_df(), self.robots, iter_no,
             iter_seconds=self.iter_seconds, token_scale=self.token_scale,
+            delays=delays,
         )
 
     @property
@@ -513,6 +531,21 @@ class CrawlEngine:
         parsed = parse_pages(fetched, self.run_date, self._ctx_bc).localCheckpoint(
             eager=False
         )
+        if self.autothrottle:
+            # P3 latency feedback: fold this wave's (deterministic
+            # stand-in) latencies into the per-netloc delays that gate the
+            # NEXT wave's tokens.  One extra narrow job over the wave
+            # batch; O(netlocs) rows reach the driver.
+            resp = fetched.select(
+                "netloc", "fifo_seq",
+                (F.octet_length("html") / F.lit(50_000.0) + F.lit(0.2)).alias(
+                    "latency_s"
+                ),
+                F.lit(True).alias("ok"),
+            )
+            self.at_delays = politeness.autothrottle_fold(
+                resp, self.at_delays
+            )
         passed = pipeline_pass(
             parsed, state_snap_bc, self._stadte_by_id, self.run_ts
         ).localCheckpoint(eager=True)

@@ -157,3 +157,106 @@ def test_tag_batch_partitions_pending_exactly(spark):
     assert tagged.count() == len(rows)  # no stopped seeds in this set
     assert tagged.where(F.col("sel")).count() + \
         tagged.where(~F.col("sel")).count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# P3: AutoThrottle latency feedback
+# ---------------------------------------------------------------------------
+
+def _scrapy_adjust(prev, latency, ok=True, mind=10.0, maxd=35.0, tc=1.0):
+    # independent reimplementation of scrapy/extensions/throttle.py
+    target = latency / tc
+    new = (prev + target) / 2.0
+    new = max(target, new)
+    new = min(max(mind, new), maxd)
+    if not ok and new <= prev:
+        return prev
+    return new
+
+
+def test_autothrottle_update_matches_scrapy_rule():
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        AT_START_DELAY, autothrottle_update,
+    )
+
+    d = AT_START_DELAY
+    want = AT_START_DELAY
+    # fast, slow, very slow (clamps at 35), fast again, failed-slow,
+    # failed-fast (no decrease on failure)
+    seq = [(0.5, True), (22.0, True), (90.0, True), (1.0, True),
+           (60.0, False), (0.1, False)]
+    for lat, ok in seq:
+        d = autothrottle_update(d, lat, ok)
+        want = _scrapy_adjust(want, lat, ok)
+        assert d == pytest.approx(want)
+    # floor is DOWNLOAD_DELAY=10, ceiling 35 (reference settings.py:53,99)
+    assert 10.0 <= d <= 35.0
+
+
+def test_autothrottle_fold_equals_sequential(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        AT_START_DELAY, autothrottle_fold,
+    )
+
+    rows = [
+        ("a.example", 2, 30.0, True),
+        ("a.example", 1, 2.0, True),   # out of order: fold sorts by fifo_seq
+        ("b.example", 1, 90.0, True),
+    ]
+    resp = spark.createDataFrame(
+        rows, "netloc string, fifo_seq long, latency_s double, ok boolean"
+    )
+    got = autothrottle_fold(resp, {"b.example": 12.0})
+    want_a = _scrapy_adjust(_scrapy_adjust(AT_START_DELAY, 2.0), 30.0)
+    want_b = _scrapy_adjust(12.0, 90.0)
+    assert got["a.example"] == pytest.approx(want_a)
+    assert got["b.example"] == pytest.approx(want_b)
+
+
+def test_tag_batch_autothrottle_delays_shrink_tokens(spark):
+    # 12 pending rows on one netloc, iter_seconds=100: static delay 10
+    # gives 10 tokens; a folded AutoThrottle delay of 35 gives ceil(100/35)
+    # = 3. The delay can only slow a host (greatest with the static rate).
+    rows = [("s", i, f"u{i}", "detail", "big.example", "", 0, 1)
+            for i in range(12)]
+    pend = _pending(spark, rows)
+    state = _state(spark, [("s", 0, 0, False, False, 10_000)])
+    robots = _robots(spark, [("big.example", 10.0, 1, [])])
+
+    base = politeness.select_batch(pend, state, robots, 0, iter_seconds=100.0)
+    assert base.count() == 10
+
+    delays = spark.createDataFrame(
+        [("big.example", 35.0)], "netloc string, delay_s double"
+    )
+    slowed = politeness.select_batch(
+        pend, state, robots, 0, iter_seconds=100.0, delays=delays
+    )
+    assert slowed.count() == 3
+    # a folded delay FASTER than the static rate must not speed it up
+    fast = spark.createDataFrame(
+        [("big.example", 1.0)], "netloc string, delay_s double"
+    )
+    unchanged = politeness.select_batch(
+        pend, state, robots, 0, iter_seconds=100.0, delays=fast
+    )
+    assert unchanged.count() == 10
+
+
+def test_engine_autothrottle_smoke(spark, fix_tiny):
+    # opt-in end-to-end: the engine completes with feedback on, populates
+    # per-netloc delays in [10, 35], and the default-off path is what the
+    # parity suites pin elsewhere.
+    from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import (
+        CrawlEngine,
+    )
+
+    eng = CrawlEngine(spark, fix_tiny, hour=7, autothrottle=True,
+                      iter_seconds=100.0)
+    try:
+        eng.run_wave()
+        eng.run_wave()
+        assert eng.at_delays, "no folded delays after a fetching wave"
+        assert all(10.0 <= d <= 35.0 for d in eng.at_delays.values())
+    finally:
+        eng.close()
