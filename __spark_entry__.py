@@ -856,9 +856,58 @@ WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
 """
 
 
+SQL_EMBEDDING_ANN_IVF = """
+WITH v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 8),
+a0 AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT v.vec_id, v.v, c0.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_distance(v.v, c0.cv)^2, 6), c0.cid) AS rn
+        FROM v, c0) WHERE rn = 1),
+c1 AS MATERIALIZED (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT cid, g.pos AS pos, avg(v[g.pos]) AS m
+        FROM a0, unnest(generate_series(1, 64)) AS g(pos)
+        GROUP BY cid, g.pos)
+    GROUP BY cid),
+a1 AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT v.vec_id, v.v, c1.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_distance(v.v, c1.cv)^2, 6), c1.cid) AS rn
+        FROM v, c1) WHERE rn = 1),
+q AS MATERIALIZED (
+    SELECT vec_id AS q_id, v AS qv FROM v ORDER BY vec_id LIMIT 10),
+probes AS MATERIALIZED (
+    SELECT q_id, qv, cid FROM (
+        SELECT q.q_id, q.qv, c1.cid,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round(list_distance(q.qv, c1.cv)^2, 6), c1.cid) AS rn
+        FROM q, c1) WHERE rn <= 3),
+scored AS (
+    SELECT p.q_id, a1.vec_id,
+           round(list_cosine_similarity(a1.v, p.qv), 6) AS cosine
+    FROM probes p JOIN a1 USING (cid) WHERE a1.vec_id <> p.q_id)
+SELECT q_id, vec_id, rank, cosine FROM (
+    SELECT q_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= 5
+"""
+
+
 def q_embedding_ann_ivf(spark, sf_dir):
-    """IVF-bucketed approximate NN — iterative centroid refinement is not
-    single-statement SQL; rows-only check + pytest recall property."""
+    """IVF-bucketed approximate NN (``ivf_topk``: centroids seeded from the
+    8 lowest-id vectors + one Lloyd refinement step, nprobe=3).  The single
+    refinement step unrolls into the DuckDB oracle above; sub-1e-6 distance
+    gaps are rounded away before ranking in BOTH engines so float
+    summation-order noise can't flip an assignment."""
     from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
         ivf_topk,
     )
@@ -1777,7 +1826,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": SQL_BM25,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-        # embedding_ann_ivf: iterative Lloyd refinement — rows-only
+        "embedding_ann_ivf": SQL_EMBEDDING_ANN_IVF,
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "dataset_split": _sql_dataset_split(),

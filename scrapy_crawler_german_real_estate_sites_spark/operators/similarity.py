@@ -107,7 +107,10 @@ def _nearest(v: DataFrame, cents: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    # d2 rounded before ranking: sub-1e-6 distance gaps are float noise
+    # (summation-order dependent), so treat them as ties and break by cid —
+    # makes the assignment reproducible across engines (DuckDB oracle).
+    w = Window.partitionBy("vec_id").orderBy(F.asc(F.round("d2", 6)), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -135,7 +138,8 @@ def ivf_topk(
             lambda acc, x: acc + x,
         ),
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cid"))
+    # same 6dp tie-rounding as _nearest (cross-engine determinism)
+    w = Window.partitionBy("q_id").orderBy(F.asc(F.round("d2", 6)), F.asc("cid"))
     probes = (
         qs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= nprobe)
