@@ -275,6 +275,79 @@ FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.right_ts
 """
 
 
+def q_event_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (operators/quantiles.py): p50/p90/p99 of
+    event value per type via rank arithmetic — sort-based and spillable, no
+    per-group buffering (Spark's exact ``percentile`` would OOM on a 10^10-row
+    hot group at 100 TB; ``approx_percentile`` isn't oracle-checkable)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.quantiles import (
+        group_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return group_quantiles(
+        e, ["event_type"], "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
+# identical rank arithmetic (floor/ceil of (n-1)*q, two-term interpolation)
+# so the doubles match bit-for-bit before the 6dp round; 0.5 etc. are CAST
+# to DOUBLE because DuckDB types bare decimal literals as DECIMAL.
+def _sql_quantile_term(q: str) -> str:
+    pos = f"(n - 1) * CAST({q} AS DOUBLE)"
+    return f"""round(sum(CASE
+        WHEN rk = floor({pos}) AND floor({pos}) = ceil({pos}) THEN v
+        WHEN rk = floor({pos}) THEN v * (1 - ({pos} - floor({pos})))
+        WHEN rk = ceil({pos}) THEN v * ({pos} - floor({pos}))
+        END), 6)"""
+
+
+SQL_EVENT_QUANTILES = f"""
+WITH r AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events)
+SELECT event_type, max(n) AS n,
+       {_sql_quantile_term('0.5')} AS p50,
+       {_sql_quantile_term('0.9')} AS p90,
+       {_sql_quantile_term('0.99')} AS p99
+FROM r GROUP BY event_type
+"""
+
+
+def q_event_props(spark, sf_dir):
+    """Semi-structured path: the ``props`` JSON column parsed once with
+    ``from_json`` + an explicit schema (JVM-side, codegen'd — never a Python
+    UDF), then rolled up per event type.  Averages are emitted as an exact
+    integer sum plus a final double division so the oracle matches
+    bit-for-bit (a running double mean would be summation-order dependent)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.count_distinct("k").alias("k_distinct"),
+        )
+        .withColumn(
+            "k_avg",
+            F.round(F.col("k_sum").cast("double") / F.col("n_events"), 6),
+        )
+    )
+
+
+SQL_EVENT_PROPS = """
+WITH e AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS k_sum,
+       count(DISTINCT k) AS k_distinct,
+       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS k_avg
+FROM e GROUP BY event_type
+"""
+
+
 def q_retention_candidates(spark, sf_dir):
     # D10 (database.py:27-37): delete-older-than window, per month+status
     o = _t(spark, sf_dir, "orders")
@@ -1733,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_stats": q_event_time_stats,
         "sessionize": q_sessionize,
         "asof_attribution": q_asof_attribution,
+        "event_quantiles": q_event_quantiles,
+        "event_props": q_event_props,
         "retention_candidates": q_retention_candidates,
         "url_normalize": q_url_normalize,
         "frontier_init": q_frontier_init,
@@ -1796,6 +1871,8 @@ def oracle_sql() -> dict[str, str]:
         "event_time_stats": SQL_EVENT_STATS,
         "sessionize": SQL_SESSIONIZE,
         "asof_attribution": SQL_ASOF_ATTRIBUTION,
+        "event_quantiles": SQL_EVENT_QUANTILES,
+        "event_props": SQL_EVENT_PROPS,
         "retention_candidates": SQL_RETENTION,
         "url_normalize": SQL_URL_NORMALIZE,
         "frontier_init": SQL_FRONTIER_INIT,
