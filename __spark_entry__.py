@@ -348,6 +348,73 @@ FROM e GROUP BY event_type
 """
 
 
+def q_orders_rollup(spark, sf_dir):
+    """OLAP rollup surface: subtotal + grand-total rows in one pass
+    (Spark plans ROLLUP as a single Expand + hash aggregate — one shuffle
+    for all grouping sets, not one scan per level).  Rollup NULLs are
+    disambiguated from data NULLs with grouping() flags, and monetary sums
+    go through DECIMAL so the oracle reproduces them exactly."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_rollup_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '') AS status,
+               coalesce(CAST(year(o_orderdate) AS STRING), '') AS yr,
+               grouping(o_orderstatus) AS g_status,
+               grouping(year(o_orderdate)) AS g_yr,
+               count(*) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+        FROM orders_rollup_v
+        GROUP BY ROLLUP(o_orderstatus, year(o_orderdate))
+        """
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderstatus, '') AS status,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), '') AS yr,
+       grouping(o_orderstatus) AS g_status,
+       grouping(year(o_orderdate)) AS g_yr,
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+"""
+
+
+def q_change_detect(spark, sf_dir):
+    """CDC over entity history — the recrawl 'value changed since last
+    capture' shape (the reference re-crawls listings on a cron and its
+    pipeline updates rows whose fields moved;
+    /root/reference/demo_crawl/pipelines.py update path).  One lag window
+    per (entity, metric) ordered by event time: emits only transitions.
+    Scale shape: hash-partitioned by the entity key — per-entity history is
+    bounded, so no skew — and nothing but the transition rows leave the
+    window stage."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        e.select("user_id", "event_type", "ts", "event_id", "value",
+                 prev.alias("prev_value"))
+        .where(F.col("prev_value").isNotNull()
+               & (F.col("prev_value") != F.col("value")))
+        .withColumn("delta", F.round(F.col("value") - F.col("prev_value"), 6))
+    )
+
+
+SQL_CHANGE_DETECT = """
+SELECT user_id, event_type, ts, event_id, value, prev_value,
+       round(value - prev_value, 6) AS delta
+FROM (
+    SELECT user_id, event_type, ts, event_id, value,
+           lag(value) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS prev_value
+    FROM events)
+WHERE prev_value IS NOT NULL AND prev_value <> value
+"""
+
+
 def q_retention_candidates(spark, sf_dir):
     # D10 (database.py:27-37): delete-older-than window, per month+status
     o = _t(spark, sf_dir, "orders")
@@ -1088,6 +1155,31 @@ FROM t
 
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-n per-stratum uniform sample (operators/sampling.py): rows
+    rank by md5(salt||id) within their lang stratum, first 20 survive —
+    deterministic without-replacement draw, WindowGroupLimit plan (map
+    tasks forward ≤ n rows per stratum pre-shuffle)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, strata_col="lang", n=20)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, rk FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents)
+WHERE rk <= 20
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/valid split audit, stratified by lang
     (operators/sampling.py): the assignment is a pure md5-threshold
@@ -1808,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "event_quantiles": q_event_quantiles,
         "event_props": q_event_props,
+        "change_detect": q_change_detect,
+        "orders_rollup": q_orders_rollup,
         "retention_candidates": q_retention_candidates,
         "url_normalize": q_url_normalize,
         "frontier_init": q_frontier_init,
@@ -1836,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "dedup_normalized": q_dedup_normalized,
         "pii_redact": q_pii_redact,
@@ -1873,6 +1968,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": SQL_ASOF_ATTRIBUTION,
         "event_quantiles": SQL_EVENT_QUANTILES,
         "event_props": SQL_EVENT_PROPS,
+        "change_detect": SQL_CHANGE_DETECT,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
         "retention_candidates": SQL_RETENTION,
         "url_normalize": SQL_URL_NORMALIZE,
         "frontier_init": SQL_FRONTIER_INIT,
@@ -1907,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "dataset_split": _sql_dataset_split(),
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "line_dedup": SQL_LINE_DEDUP,
         "dedup_normalized": SQL_DEDUP_NORMALIZED,
         "pii_redact": SQL_PII_REDACT,

@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "lang_freshness",
     "sessionize",
     "asof_attribution",
+    "event_quantiles",
+    "event_props",
+    "change_detect",
+    "orders_rollup",
+    "stratified_sample",
     "url_normalize",
     "multimodal_stub",
 ]

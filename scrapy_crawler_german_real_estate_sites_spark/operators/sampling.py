@@ -176,3 +176,35 @@ def temperature_mix(
             F.sum("kept").cast("bigint").alias("n_kept"),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    n: int = 20,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Exact-``n`` per-stratum uniform sample, deterministic and portable.
+
+    Rows rank within their stratum by ``md5(salt || id)`` — a uniform
+    permutation under md5 — and the first ``n`` survive, i.e. a
+    without-replacement draw whose membership is a pure function of
+    (salt, id): identical across partitionings, re-reads, and engines
+    (md5 hexes the same in Spark, DuckDB, and hashlib), and adding a new
+    salt draws an independent sample.
+
+    Plan shape: the rank-filter compiles to WindowGroupLimit (same as
+    ``domain_cap``) — every map task forwards at most ``n`` rows per
+    stratum BEFORE the exchange, so the shuffle moves O(strata × n) rows,
+    never the corpus.  When only a *fraction* is needed, use
+    ``split_col`` instead: that one is row-local with zero shuffle;
+    exactness of the count is what buys the rank here.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(strata_col, id_col)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= n)
+    )

@@ -173,3 +173,27 @@ def test_temperature_mix_budget_covers_corpus(spark):
     # alpha=1 reproduces natural proportions; a budget over the corpus
     # size keeps everything
     assert all(r.n_kept == r.n_docs and r.keep_frac == 1.0 for r in out)
+
+
+def test_stratified_sample_matches_python_reference(spark, docs):
+    """Exact-n sample = first n ids of each stratum ordered by the salted
+    md5 — recomputed in plain python; and the plan pre-filters map-side
+    (WindowGroupLimit), so the shuffle carries O(strata x n) rows."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    small = docs.where(F.col("doc_id") < 1000)
+    out = stratified_sample(small, strata_col="lang", n=7)
+    got = {(r["lang"], r["doc_id"], r["rk"]) for r in out.collect()}
+
+    want = set()
+    for lang in range(4):
+        ids = [i for i in range(1000) if i % 4 == lang]
+        key = lambda i: (hashlib.md5(f"sample-v1:{i}".encode()).hexdigest(), i)
+        for rk, i in enumerate(sorted(ids, key=key)[:7], start=1):
+            want.add((str(lang), i, rk))
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
