@@ -37,9 +37,11 @@ TIERS = {
     "sf0.001": {"cities": 15},
     "sf0.01": {"cities": 150},
     "sf0.1": {"cities": 1500},
-    # scaling-evidence tier: big enough that the flat per-wave maintenance
-    # terms stop dominating the 8->32 comparison (BENCH/BASELINE.md)
+    # scaling-evidence tiers: big enough that the flat per-wave maintenance
+    # terms stop dominating the 8->32 comparison (BENCH/BASELINE.md);
+    # sf0.6 extends the Amdahl-trend measurement one more doubling
     "sf0.3": {"cities": 4500},
+    "sf0.6": {"cities": 9000},
 }
 
 COMBOS = [(0, 0), (0, 1), (1, 1)]
