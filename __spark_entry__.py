@@ -1060,6 +1060,58 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, q, k=5, ncentroids=8, nprobe=3)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-blocked semantic dedup —
+    cluster with the same deterministic coarse quantizer as the IVF index
+    (8 centroids seeded from the lowest-id vectors + one Lloyd step),
+    compare pairs only within a cluster, drop members with a lower-id
+    neighbor at cosine >= 0.3.  The oracle unrolls the Lloyd step exactly
+    like SQL_EMBEDDING_ANN_IVF, then states the within-cluster pair rule;
+    d2 and cosine round to 6dp in BOTH engines before any rank/compare."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import (
+        semdedup,
+    )
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.3, ncentroids=8)
+
+
+# c0/a0/c1/a1 mirror SQL_EMBEDDING_ANN_IVF's unrolled Lloyd step (same
+# quantizer constants: 8 centroids, 64 dims, 6dp tie-rounding)
+SQL_SEMDEDUP = """
+WITH v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 8),
+a0 AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT v.vec_id, v.v, c0.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_distance(v.v, c0.cv)^2, 6), c0.cid) AS rn
+        FROM v, c0) WHERE rn = 1),
+c1 AS MATERIALIZED (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT cid, g.pos AS pos, avg(v[g.pos]) AS m
+        FROM a0, unnest(generate_series(1, 64)) AS g(pos)
+        GROUP BY cid, g.pos)
+    GROUP BY cid),
+a1 AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT v.vec_id, v.v, c1.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_distance(v.v, c1.cv)^2, 6), c1.cid) AS rn
+        FROM v, c1) WHERE rn = 1),
+pairs AS (
+    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+SELECT id_b AS vec_id, cid, id_a AS dup_of, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid, id_b ORDER BY id_a) AS rn
+    FROM pairs WHERE cosine >= 0.3) WHERE rn = 1
+"""
+
+
 def q_text_stats(spark, sf_dir):
     from scrapy_crawler_german_real_estate_sites_spark.functions import textops as tx
 
@@ -1208,6 +1260,34 @@ SELECT lang,
        count(*) AS docs
 FROM documents
 GROUP BY 1, 2
+"""
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget shard packing (operators/sampling.py:shard_pack):
+    documents in deterministic md5 order, shard_id = floor(tokens_before /
+    2000).  The oracle states the semantic spec as ONE global running-sum
+    window; the Spark side must reproduce it with the scale-correct
+    two-pass prefix sum (256 md5-prefix buckets: per-bucket totals → tiny
+    offsets dim → bucket-partitioned windows) — no global sort, no
+    single-partition stage over the corpus."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        shard_pack,
+    )
+
+    return shard_pack(_t(spark, sf_dir, "documents"), budget=2000)
+
+
+SQL_SHARD_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5('pack-v1:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY key, doc_id)
+                   - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+FROM t
 """
 
 
@@ -1927,9 +2007,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "semdedup": q_semdedup,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dataset_split": q_dataset_split,
+        "shard_pack": q_shard_pack,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "dedup_normalized": q_dedup_normalized,
@@ -2001,9 +2083,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "embedding_ann_ivf": SQL_EMBEDDING_ANN_IVF,
+        "semdedup": SQL_SEMDEDUP,
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "dataset_split": _sql_dataset_split(),
+        "shard_pack": SQL_SHARD_PACK,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "line_dedup": SQL_LINE_DEDUP,
         "dedup_normalized": SQL_DEDUP_NORMALIZED,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_neardup",
     "embedding_ann_ivf",
+    "semdedup",
     "geocode_enrich",
     "politeness_select",
     "text_stats",
@@ -46,6 +47,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "doc_fingerprint",
     "dataset_split",
+    "shard_pack",
     "line_dedup",
     "dedup_normalized",
     "pii_redact",

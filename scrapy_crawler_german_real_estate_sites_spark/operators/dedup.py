@@ -703,3 +703,84 @@ def substring_dedup(
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. SemDeDup — k-means-blocked semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    emb: DataFrame, threshold=0.95, ncentroids=8,
+    id_col="vec_id", vec_col="embedding",
+) -> DataFrame:
+    """Semantic dedup over an embedding column, SemDeDup-style
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the corpus with k-means,
+    compare pairs ONLY within a cluster, and drop every member that has a
+    within-cluster neighbor above the cosine threshold with a smaller id
+    (the paper keeps one representative per semantic-duplicate group; the
+    min-id rule is the deterministic materialization of that choice — the
+    keeper set is exactly the set with no lower-id near neighbor, so no
+    two keepers in the same cluster are within ``threshold`` of each
+    other).
+
+    Returns the DROP list: (vec_id, cid, dup_of, cosine) where ``dup_of``
+    is the smallest-id qualifying neighbor (the audit trail: which keeper
+    displaced this row) and ``cosine`` that witness pair's similarity.
+
+    Scale shape: the coarse quantizer is ``similarity.assign_centroids``
+    (deterministic seed + one Lloyd step, centroids broadcast — k rows);
+    candidate generation is a cid⋈cid equi self-join, so the pairwise
+    cosine bill is Σ|cluster|² instead of |corpus|² — at 100 TB you pick
+    ``ncentroids`` so the expected cluster fits a partition (the paper
+    also caps per-cluster comparisons; skew in a hot cluster is bounded
+    the same way: raise k).  Unlike ``dedup_embedding_cosine``'s
+    hyperplane-LSH blocking (recall by OR-amplification probability),
+    k-means blocking trades a small recall loss at cluster borders for
+    zero repeated hashing passes — both are first-class; this one is the
+    published SemDeDup dataflow."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        assign_centroids,
+    )
+
+    assigned, _ = assign_centroids(
+        emb, ncentroids=ncentroids, id_col=id_col, vec_col=vec_col, refine=1
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    # cid equi-join + id_a < id_b: each unordered within-cluster pair once
+    dots = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                / (
+                    F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+                    * F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+                ),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    # the dropped row is the larger id; witness = its smallest near keeper
+    w = Window.partitionBy("cid", "id_b").orderBy(F.asc("id_a"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            "cid",
+            F.col("id_a").alias("dup_of"),
+            "cosine",
+        )
+    )

@@ -208,3 +208,77 @@ def stratified_sample(
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= n)
     )
+
+
+def shard_pack(
+    docs: DataFrame,
+    budget: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+    bucket_hex_len: int = 2,
+) -> DataFrame:
+    """Token-budget shard packing — assign each document to a training
+    shard so consecutive shards hold ~``budget`` whitespace tokens each
+    (the "pack the corpus into fixed-token shards/sequences" step of every
+    LLM training pipeline).  Documents are laid out in a deterministic
+    shuffled order (md5 of the salted id — a uniform permutation, so
+    shards are i.i.d. slices of the corpus, not source-ordered runs) and
+    ``shard_id = floor(tokens_before / budget)``: a shard closes once the
+    running total crosses the budget, the straddling document starting the
+    next one.
+
+    The SEMANTIC spec is one global running sum over the md5 order — a
+    single-partition window at 100 TB, i.e. a non-starter.  This
+    implementation is the scale-correct two-pass prefix sum:
+
+      1. bucket every row by the first ``bucket_hex_len`` hex chars of its
+         key (the buckets partition the global order into 16^len ordered
+         ranges, because the bucket is a PREFIX of the sort key);
+      2. one map-side-combinable groupBy computes per-bucket token totals
+         — a 16^len-row dimension — and a window over THAT dim (tiny by
+         construction: 256 rows at the default) turns totals into
+         bucket-start offsets;
+      3. the offsets broadcast-join back and a window PARTITIONED BY
+         bucket (parallel, skew-free: md5 buckets are uniform) finishes
+         the within-bucket running sum; global = offset + local.
+
+    Net cost over the corpus: one hash exchange on bucket + one broadcast
+    — no global sort, no single-partition stage.  Raise ``bucket_hex_len``
+    until a bucket fits a partition (3 hex chars = 4096 buckets, etc.).
+    The DuckDB oracle states the one-window semantic spec directly; this
+    dataflow must (and does) reproduce it bit-for-bit."""
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        ws_token_count,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        key.alias("key"),
+    ).withColumn("bucket", F.substring("key", 1, bucket_hex_len))
+    totals = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    # 16^bucket_hex_len rows: the unpartitioned window is over the tiny
+    # dimension, never the corpus
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btot").over(wb), F.lit(0)).alias("boff")
+    )
+    wl = (
+        Window.partitionBy("bucket")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_incl", F.sum("n_tokens").over(wl))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("boff") + F.col("cum_incl") - F.col("n_tokens"))
+                / F.lit(float(budget))
+            ).cast("bigint").alias("shard_id"),
+        )
+    )

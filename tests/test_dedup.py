@@ -362,3 +362,96 @@ def test_substring_dedup_disjoint_spans_sum(spark):
     out = {r.doc_id: r for r in substring_dedup(docs, window=12).collect()}
     # both 12-token spans duplicated, separated by >window gap -> 24 tokens
     assert out[3].n_dup_windows == 2 and out[3].dup_tokens == 24
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (k-means-blocked semantic dedup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _py_semdedup(rows, threshold, k):
+    """Plain-python mirror of operators/dedup.py:semdedup — deterministic
+    seed centroids, one Lloyd step, 6dp rounding before every compare."""
+    import numpy as np
+
+    ids = sorted(i for i, _ in rows)
+    V = {i: np.asarray(v, dtype=float) for i, v in rows}
+
+    def assign(cents):
+        return {
+            i: min(
+                (round(float(np.sum((V[i] - cv) ** 2)), 6), cid)
+                for cid, cv in cents.items()
+            )[1]
+            for i in ids
+        }
+
+    a0 = assign({i: V[i] for i in ids[:k]})
+    c1 = {
+        cid: np.mean([V[i] for i in ids if a0[i] == cid], axis=0)
+        for cid in set(a0.values())
+    }
+    a1 = assign(c1)
+    drops = {}
+    for a, b in itertools.combinations(ids, 2):
+        if a1[a] != a1[b] or b in drops:
+            continue
+        c = round(
+            float(
+                np.dot(V[a], V[b])
+                / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))
+            ),
+            6,
+        )
+        if c >= threshold:
+            drops[b] = (a1[b], a, c)  # first hit = min id_a (ids ascending)
+    return a1, drops
+
+
+def test_semdedup_matches_python_reference(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import semdedup
+
+    rows = _planted_vectors(groups=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cid, r.dup_of, r.cosine)
+        for r in semdedup(df, threshold=0.9, ncentroids=4).collect()
+    }
+    _, want = _py_semdedup(rows, 0.9, 4)
+    assert set(got) == set(want)
+    for vid, (cid, dup_of, cos) in got.items():
+        wc, wd, wcos = want[vid]
+        assert (cid, dup_of) == (wc, wd), (vid, got[vid], want[vid])
+        assert cos == pytest.approx(wcos, abs=1e-6)
+    assert want  # the planted twins really produce drops
+
+
+def test_semdedup_keepers_are_pairwise_distant(spark):
+    """The keeper set is exactly the rows with no lower-id near neighbor
+    in their cluster — so no two SURVIVORS of the same cluster may sit
+    within the threshold of each other (the SemDeDup guarantee)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import semdedup
+
+    rows = _planted_vectors(groups=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dropped = {r.vec_id for r in semdedup(df, threshold=0.9, ncentroids=4).collect()}
+    a1, _ = _py_semdedup(rows, 0.9, 4)
+    keepers = [i for i, _ in rows if i not in dropped]
+    for a, b in itertools.combinations(sorted(keepers), 2):
+        if a1[a] != a1[b]:
+            continue
+        va = dict(rows)[a]
+        vb = dict(rows)[b]
+        assert py_cosine(va, vb) < 0.9 + 1e-9, (a, b)
+
+
+def test_semdedup_partition_invariant(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.dedup import semdedup
+
+    rows = _planted_vectors(groups=10)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {(r.vec_id, r.cid, r.dup_of) for r in semdedup(df, 0.9, 4).collect()}
+    b = {
+        (r.vec_id, r.cid, r.dup_of)
+        for r in semdedup(df.repartition(7, "vec_id"), 0.9, 4).collect()
+    }
+    assert a == b

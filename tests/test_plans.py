@@ -39,6 +39,10 @@ BNLJ_OK = {
     # 1-row normalizer scalar (Σ n_s^alpha) broadcast onto the O(sources)
     # dimension — the corpus itself joins via broadcast HASH join
     "temperature_mix",
+    # k-row centroid table broadcast for the coarse-quantizer distance
+    # sweep (similarity.assign_centroids); the pairwise candidate join
+    # itself is a cid equi hash join
+    "semdedup",
 }
 
 # iterative / crawl-driving queries: plan shape covered by the engine's

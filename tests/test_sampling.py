@@ -197,3 +197,85 @@ def test_stratified_sample_matches_python_reference(spark, docs):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# shard_pack (token-budget shard packing via two-pass prefix sum)
+# ---------------------------------------------------------------------------
+
+def _pack_docs(spark, n=3000):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 37 + 1).cast("int"))
+        ).alias("text"),
+    )
+
+
+def _py_shard_pack(n, budget):
+    """The semantic spec: one global running sum in md5 order."""
+    rows = sorted(
+        (hashlib.md5(f"pack-v1:{i}".encode()).hexdigest(), i, i % 37 + 1)
+        for i in range(n)
+    )
+    out, cum = {}, 0
+    for _, i, tok in rows:
+        out[i] = (tok, cum // budget)
+        cum += tok
+    return out
+
+
+def test_shard_pack_matches_python_reference(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        shard_pack,
+    )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in shard_pack(_pack_docs(spark), budget=500).collect()
+    }
+    want = _py_shard_pack(3000, 500)
+    assert got == want
+    assert len({s for _, s in want.values()}) > 5  # non-trivial packing
+
+
+def test_shard_pack_partition_and_bucket_invariant(spark):
+    """The two-pass prefix sum must reproduce the one-window spec no
+    matter how the input is partitioned or how many prefix buckets the
+    dataflow uses — bucketing is an execution detail, not a semantic."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        shard_pack,
+    )
+
+    d = _pack_docs(spark, 2000)
+    a = {r.doc_id: r.shard_id for r in shard_pack(d, budget=300).collect()}
+    b = {
+        r.doc_id: r.shard_id
+        for r in shard_pack(d.repartition(13), budget=300).collect()
+    }
+    c = {
+        r.doc_id: r.shard_id
+        for r in shard_pack(d, budget=300, bucket_hex_len=1).collect()
+    }
+    assert a == b == c
+
+
+def test_shard_pack_shards_are_budget_sized(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        shard_pack,
+    )
+
+    rows = shard_pack(_pack_docs(spark), budget=500).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, 0)
+        by_shard[r.shard_id] += r.n_tokens
+    last = max(by_shard)
+    assert sorted(by_shard) == list(range(last + 1))  # contiguous ids
+    for s, tot in by_shard.items():
+        # a closed shard's total sits within one max-doc of the budget:
+        # shard s spans [start_s, start_{s+1}) where each start overshoots
+        # its multiple of B by at most one straddling document
+        if s != last:
+            assert 500 - 37 < tot < 500 + 37, (s, tot)
+    assert sum(by_shard.values()) == sum(r.n_tokens for r in rows)
