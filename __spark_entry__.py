@@ -1060,6 +1060,85 @@ def q_embedding_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, q, k=5, ncentroids=8, nprobe=3)
 
 
+def q_embedding_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.py:pq_topk, Jégou et al.
+    2011): per-subspace codebooks (8 subspaces × 16 codes, deterministic
+    seeded Lloyd, one refinement) encode the corpus as 8 small ints; each
+    query scores via its broadcast distance table (ADC), never touching
+    the float vectors — then the top-50 candidates re-rank by EXACT d²
+    (the faiss IndexRefine stage; these near-random synthetic embeddings
+    are PQ's worst case, and the refinement is what makes the recall
+    usable — see tests/test_similarity.py).  The oracle unrolls the
+    per-subspace Lloyd step the same way SQL_EMBEDDING_ANN_IVF unrolls
+    the coarse one; d2 ranks are 6dp-rounded in BOTH engines before every
+    compare."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return pq_topk(emb, q, k=5, m=8, ksub=16, subdim=8, rerank=50)
+
+
+SQL_EMBEDDING_ANN_PQ = """
+WITH v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS MATERIALIZED (
+    SELECT vec_id, g.s AS s, v[g.s*8+1 : g.s*8+8] AS sv
+    FROM v, unnest(generate_series(0, 7)) AS g(s)),
+c0 AS MATERIALIZED (
+    SELECT s, vec_id AS code, sv AS cv FROM sub
+    WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+a0 AS MATERIALIZED (
+    SELECT vec_id, s, sv, code FROM (
+        SELECT sub.vec_id, sub.s, sub.sv, c0.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_distance(sub.sv, c0.cv)^2, 6), c0.code)
+                 AS rn
+        FROM sub JOIN c0 ON sub.s = c0.s) WHERE rn = 1),
+c1 AS MATERIALIZED (
+    SELECT s, code, list(mu ORDER BY pos) AS cv FROM (
+        SELECT s, code, g.pos AS pos, avg(sv[g.pos]) AS mu
+        FROM a0, unnest(generate_series(1, 8)) AS g(pos)
+        GROUP BY s, code, g.pos) GROUP BY s, code),
+codes AS MATERIALIZED (
+    SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, c1.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_distance(sub.sv, c1.cv)^2, 6), c1.code)
+                 AS rn
+        FROM sub JOIN c1 ON sub.s = c1.s) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, s, sv AS qsv FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 10)),
+dtab AS MATERIALIZED (
+    SELECT q.q_id, c1.s, c1.code, list_distance(q.qsv, c1.cv)^2 AS d2
+    FROM q JOIN c1 ON q.s = c1.s),
+scored AS (
+    SELECT d.q_id, codes.vec_id, round(sum(d.d2), 6) AS approx_d2
+    FROM codes JOIN dtab d ON codes.s = d.s AND codes.code = d.code
+    WHERE codes.vec_id <> d.q_id
+    GROUP BY d.q_id, codes.vec_id),
+cand AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY approx_d2, vec_id) AS rank
+        FROM scored) WHERE rank <= 50),
+exact AS (
+    SELECT c.q_id, c.vec_id, round(list_distance(qv.v, cv.v)^2, 6) AS d2
+    FROM cand c JOIN v qv ON qv.vec_id = c.q_id
+                JOIN v cv ON cv.vec_id = c.vec_id)
+SELECT q_id, vec_id, rank, d2 FROM (
+    SELECT q_id, vec_id, d2,
+           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+    FROM exact) WHERE rank <= 5
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-blocked semantic dedup —
     cluster with the same deterministic coarse quantizer as the IVF index
@@ -2007,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_pq": q_embedding_ann_pq,
         "semdedup": q_semdedup,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2083,6 +2163,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "embedding_ann_ivf": SQL_EMBEDDING_ANN_IVF,
+        "embedding_ann_pq": SQL_EMBEDDING_ANN_PQ,
         "semdedup": SQL_SEMDEDUP,
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_neardup",
     "embedding_ann_ivf",
+    "embedding_ann_pq",
     "semdedup",
     "geocode_enrich",
     "politeness_select",

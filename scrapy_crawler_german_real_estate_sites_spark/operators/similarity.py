@@ -159,3 +159,167 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011) — the compressed path
+# ---------------------------------------------------------------------------
+
+def _subvectors(df, m, subdim, id_name, vec_name):
+    """Long form: one row per (id, subspace) with the sliced subvector."""
+    return df.select(
+        F.col(id_name).alias("vec_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col(vec_name).cast("array<double>").alias("v"),
+    ).select(
+        "vec_id", "s",
+        F.slice("v", F.col("s") * subdim + 1, subdim).alias("sv"),
+    )
+
+
+def _nearest_code(sub, cents):
+    """Nearest codebook entry per (vec_id, s): broadcast the O(m·ksub)
+    codebook, equi-join on the subspace, 6dp tie-rounding + code
+    tie-break (cross-engine determinism, same policy as _nearest)."""
+    scored = sub.join(F.broadcast(cents), "s").withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc(F.round("d2", 6)), F.asc("code")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "sv", "code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, m=8, ksub=16, subdim=8,
+    id_col="vec_id", vec_col="embedding", refine=1,
+):
+    """Train per-subspace codebooks and encode the corpus.
+
+    Codebooks are deterministic: subspace ``s``'s initial centroids are
+    the ``ksub`` lowest-id vectors' ``s``-th slices (code = seed vec_id),
+    refined by ``refine`` Lloyd steps — the same seeded-Lloyd recipe as
+    ``assign_centroids``, run once per subspace via a single long-form
+    dataflow keyed by ``s`` (no per-subspace driver loop).  Returns
+    ``(codes, codebooks)``: codes = (vec_id, s, code) — m small ints per
+    vector, the 32x-compressed representation PQ exists for — and
+    codebooks = (s, code, cv).
+
+    Scale shape: codebooks are O(m·ksub) rows and broadcast everywhere;
+    the corpus-side work is one explode (×m) + broadcast equi-join (×ksub
+    fan-out inside the join, reduced immediately by the per-(vec_id,s)
+    rank) — embarrassingly parallel, no corpus shuffle beyond the
+    groupBy in each Lloyd mean (map-side combinable, keyed by
+    (s, code, pos) — m·ksub·subdim cells)."""
+    sub = _subvectors(corpus, m, subdim, id_col, vec_col)
+    seeds = corpus.orderBy(id_col).limit(ksub).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col)
+    )
+    cents = _subvectors(seeds, m, subdim, "vec_id", vec_col).select(
+        "s", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(refine):
+        assigned = _nearest_code(sub, cents)
+        # per-subspace Lloyd mean; eager pin for the same reason as
+        # assign_centroids (iterative lineage, multiple consumers)
+        cents = (
+            assigned.select("s", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select("s", "code", F.transform("pm", lambda x: x["mu"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    codes = _nearest_code(sub, cents).select("vec_id", "s", "code")
+    return codes, cents
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, k=5, m=8, ksub=16, subdim=8,
+    rerank=None,
+    id_col="vec_id", vec_col="embedding", q_id_col="q_id", q_vec_col="q_vec",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): approximate squared L2 between
+    a query and a coded vector = Σ_s d²(q_s, codebook[s][code_s]) — the
+    query builds an O(m·ksub)-row distance table, and the corpus scan
+    touches only the m-byte codes, never the vectors.  Returns
+    (q_id, vec_id, rank, approx_d2), self-matches excluded.
+
+    This is the compressed complement to ``ivf_topk``: IVF prunes WHICH
+    vectors to score, PQ shrinks WHAT is read per scored vector (at 100 TB
+    the codes table is ~32× smaller than the float corpus — the scan cost
+    drops by that factor; faiss composes both as IVFADC).  The distance
+    tables for all queries broadcast as one O(nq·m·ksub) dim; the scoring
+    join is a (s, code) equi hash join followed by a map-side-combinable
+    sum — zero corpus shuffle wider than the groupBy's partial
+    aggregates.
+
+    ``rerank=R`` adds the standard refinement stage (Jégou et al. §VII /
+    faiss IndexRefine): the top ``R`` ADC candidates per query are
+    re-scored with EXACT d² against the float vectors and the final top-k
+    ranks by that — quantization error then only costs recall if a true
+    neighbor falls outside the top R, not whenever codes blur the order
+    inside it.  Cost shape: the candidate set (O(nq·R) ids) broadcasts
+    onto the corpus — one equi hash join retrieves exactly the R vectors
+    per query; output columns become (q_id, vec_id, rank, d2)."""
+    codes, cents = pq_encode(corpus, m, ksub, subdim, id_col, vec_col)
+    qsub = _subvectors(queries, m, subdim, q_id_col, q_vec_col).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("sv").alias("qsv")
+    )
+    dtab = qsub.join(F.broadcast(cents), "s").select(
+        "q_id", "s", "code",
+        F.aggregate(
+            F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.where(F.col("rank") <= k).select(
+            "q_id", "vec_id", "rank", "approx_d2"
+        )
+    cand = ranked.where(F.col("rank") <= rerank).select("q_id", "vec_id")
+    vv = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    qq = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+    )
+    exact = (
+        vv.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qq), "q_id")
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "d2")
+    )

@@ -102,3 +102,100 @@ def test_ivf_recall_at_5_vs_exact(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"IVF recall@5 = {recall}"
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+def _structured_vectors(groups=10, per=6, dim=32, seed=11):
+    """Clustered corpus (what PQ is built for): `groups` anchors, `per`
+    noisy members each — nearest neighbors are the within-group members."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for g in range(groups):
+        anchor = rng.randn(dim) * 4
+        for j in range(per):
+            v = anchor + 0.15 * rng.randn(dim)
+            rows.append((g * per + j, [float(x) for x in v]))
+    return rows
+
+
+def test_pq_codes_are_complete_and_deterministic(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    rows = _structured_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, books = pq_encode(df, m=4, ksub=8, subdim=8)
+    got = codes.collect()
+    # every vector carries exactly m codes, one per subspace
+    per_vec = {}
+    for r in got:
+        per_vec.setdefault(r.vec_id, set()).add(r.s)
+    assert all(v == set(range(4)) for v in per_vec.values())
+    # codes reference live codebook entries
+    live = {(r.s, r.code) for r in books.collect()}
+    assert {(r.s, r.code) for r in got} <= live
+    # deterministic under repartitioning
+    again = {
+        (r.vec_id, r.s, r.code)
+        for r in pq_encode(df.repartition(7, "vec_id"), m=4, ksub=8, subdim=8)[0].collect()
+    }
+    assert {(r.vec_id, r.s, r.code) for r in got} == again
+
+
+def test_pq_topk_finds_planted_groups(spark):
+    """On clustered data the ADC ranking alone must put within-group
+    members at the top: recall@(per-1) of group members >= 0.9."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = _structured_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(i, v) for i, v in rows if i % 6 == 0],
+        "q_id long, q_vec array<double>",
+    )
+    got = {}
+    for r in pq_topk(df, q, k=5, m=4, ksub=16, subdim=8).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = total = 0
+    for qid, members in got.items():
+        group = {qid + d for d in range(1, 6)}  # the 5 other group members
+        hits += len(members & group)
+        total += 5
+    assert total and hits / total >= 0.9, hits / total
+
+
+def test_pq_rerank_matches_exact_topk(spark):
+    """With rerank >= corpus size the refinement stage must reproduce the
+    exact L2 top-k (quantization can then only affect which candidates
+    enter the re-rank, and here all of them do)."""
+    import numpy as np
+
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = _vectors(n=50, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(i, v) for i, v in rows[:6]], "q_id long, q_vec array<double>"
+    )
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in pq_topk(df, q, k=3, m=4, ksub=8, subdim=4, rerank=50).collect()
+    }
+    V = {i: np.asarray(v) for i, v in rows}
+    for qid, qv in rows[:6]:
+        d = sorted(
+            (round(float(np.sum((V[i] - np.asarray(qv)) ** 2)), 6), i)
+            for i in V if i != qid
+        )
+        for rank, (_, i) in enumerate(d[:3], start=1):
+            assert got[(qid, rank)] == i, (qid, rank)
