@@ -1342,6 +1342,32 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_chunk(spark, sf_dir):
+    """Fixed-token chunking with overlap (functions/textops.py:chunk_docs,
+    chunk 64 / overlap 16): row-local higher-order exprs + one posexplode,
+    zero shuffle — the sequence-prep step upstream of shard_pack."""
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        chunk_docs,
+    )
+
+    return chunk_docs(_t(spark, sf_dir, "documents"), chunk_size=64, overlap=16)
+
+
+SQL_DOC_CHUNK = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, g.i AS chunk_id,
+         array_to_string(toks[g.i*48+1 : g.i*48+64], ' ') AS chunk_text
+  FROM t, unnest(generate_series(0, CAST(floor((len(toks)-1)/48.0) AS BIGINT)))
+         AS g(i))
+SELECT doc_id, chunk_id, chunk_text,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
 def q_shard_pack(spark, sf_dir):
     """Token-budget shard packing (operators/sampling.py:shard_pack):
     documents in deterministic md5 order, shard_id = floor(tokens_before /
@@ -2091,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "dataset_split": q_dataset_split,
+        "doc_chunk": q_doc_chunk,
         "shard_pack": q_shard_pack,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
@@ -2168,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,
         "dataset_split": _sql_dataset_split(),
+        "doc_chunk": SQL_DOC_CHUNK,
         "shard_pack": SQL_SHARD_PACK,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "line_dedup": SQL_LINE_DEDUP,

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "doc_fingerprint",
     "dataset_split",
+    "doc_chunk",
     "shard_pack",
     "line_dedup",
     "dedup_normalized",

@@ -225,3 +225,39 @@ def pii_counts(text):
         F.regexp_count(text, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
         F.regexp_count(text, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
     )
+
+
+def chunk_docs(docs, chunk_size=64, overlap=16, id_col="doc_id", text_col="text"):
+    """Fixed-token chunking with overlap — the sequence-prep step that
+    turns variable-length documents into model-sized windows (training
+    sample packing's upstream, RAG indexing's unit).  Chunk ``i`` covers
+    whitespace tokens ``[i·step, i·step + chunk_size)`` with
+    ``step = chunk_size − overlap``; starts run while they point inside
+    the document, so every token lands in ≥1 chunk and consecutive chunks
+    share ``overlap`` tokens.
+
+    Pure row-local higher-order expressions (sequence → slice →
+    concat_ws + one posexplode): zero shuffle, embarrassingly parallel,
+    output size = input × (1 + overlap/step) — the 100 TB cost is one
+    corpus pass.  Returns (doc_id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # last start: the largest multiple of step strictly below n
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(step)) + F.lit(1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_size)),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.split("chunk_text", r"\s+")).cast("bigint").alias("n_chunk_tokens"),
+    )

@@ -205,3 +205,69 @@ def test_pii_redaction_known_answer(spark):
     assert out[3].red == "order #123 costs 42 eur"
     # 20-digit run is not phone-shaped (7-15): left alone
     assert out[4].n_phones == 0 and "12345678901234567890" in out[4].red
+
+
+# ---------------------------------------------------------------------------
+# chunk_docs (fixed-token windows with overlap)
+# ---------------------------------------------------------------------------
+
+def test_chunk_docs_matches_python_reference(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        chunk_docs,
+    )
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(100)),  # multiple chunks
+        1: " ".join(f"w{i}" for i in range(16)),   # single short chunk
+        2: " ".join(f"w{i}" for i in range(17)),   # just past one step
+        3: "solo",                                  # 1 token
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_docs(df, chunk_size=16, overlap=4).collect()
+    }
+    step = 12
+    want = {}
+    for d, t in texts.items():
+        toks = t.split()
+        n_chunks = (len(toks) - 1) // step + 1
+        for i in range(n_chunks):
+            c = toks[i * step: i * step + 16]
+            want[(d, i)] = (" ".join(c), len(c))
+    assert got == want
+
+
+def test_chunk_docs_covers_every_token_with_overlap(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        chunk_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(257)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_docs(df, chunk_size=64, overlap=16).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    seen = []
+    for r in rows:
+        seen.extend(r.chunk_text.split()[: 48 if r != rows[-1] else None])
+    # the non-overlapping prefixes reassemble the document exactly
+    assert seen == [f"t{i}" for i in range(257)]
+    # consecutive full chunks share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        ta, tb = a.chunk_text.split(), b.chunk_text.split()
+        if len(ta) == 64:
+            assert ta[48:] == tb[: len(ta) - 48]
+
+
+def test_chunk_docs_rejects_bad_overlap():
+    import pytest as _pytest
+
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        chunk_docs,
+    )
+
+    with _pytest.raises(ValueError):
+        chunk_docs(None, chunk_size=8, overlap=8)
