@@ -35,6 +35,15 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")]
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
+# Per-leg quiet-window gate (burn EFFICIENCY units, e.g. 0.78; 0 = off).
+# Every recorded contended pair so far decayed DURING a leg — an
+# entry-only gate (tools/probe_gate.sh) can't see that, so with the gate
+# on, each leg (a) waits for two consecutive burn probes >= GATE before
+# starting and (b) re-measures the burn right after finishing: a leg
+# whose trailing burn fell below the gate is marked contended and
+# retried (up to SPARK_GRAFT_SCALING_LEG_RETRIES extra attempts).
+GATE = float(os.environ.get("SPARK_GRAFT_SCALING_GATE", "0"))
+LEG_RETRIES = int(os.environ.get("SPARK_GRAFT_SCALING_LEG_RETRIES", "3"))
 
 
 def _burn(v):
@@ -99,11 +108,36 @@ def run_child(cpus: int) -> None:
     }))
 
 
+def _burn_eff(lo, hi):
+    b = hardware_ceiling([lo, hi])
+    return b[hi] / ((hi / lo) * b[lo])
+
+
+def _wait_quiet(lo, hi, attempts=30):
+    """Block until two consecutive burn probes (20s apart) clear GATE."""
+    for i in range(1, attempts + 1):
+        e1 = _burn_eff(lo, hi)
+        time.sleep(20)
+        e2 = _burn_eff(lo, hi)
+        print(f"  gate probe {i}: burn eff {e1:.3f} / {e2:.3f} (gate {GATE})",
+              flush=True)
+        if min(e1, e2) >= GATE:
+            return True
+        time.sleep(90)
+    return False
+
+
 def run_parent() -> None:
+    lo, hi = min(LEVELS), max(LEVELS)
     results = {}
     for cpus in LEVELS:
         best = None
-        for _ in range(REPEATS):
+        clean_repeats = 0
+        retries_left = LEG_RETRIES
+        while clean_repeats < REPEATS:
+            if GATE and not _wait_quiet(lo, hi):
+                print(f"  no quiet window for local[{cpus}] — proceeding "
+                      "anyway (leg will be burn-checked after)", flush=True)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
                 capture_output=True, text=True, cwd=REPO,
@@ -115,16 +149,27 @@ def run_parent() -> None:
                 print(out.stderr[-3000:], file=sys.stderr)
                 raise SystemExit(f"child local[{cpus}] produced no result")
             r = json.loads(line[-1])
+            if GATE:
+                r["trailing_burn_eff"] = round(_burn_eff(lo, hi), 3)
             if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                 best = r
+            if GATE and r["trailing_burn_eff"] < GATE and retries_left > 0:
+                retries_left -= 1
+                print(f"  local[{cpus}] leg CONTENDED (trailing burn eff "
+                      f"{r['trailing_burn_eff']} < {GATE}) at "
+                      f"{r['urls_per_sec']} urls/sec — retrying leg "
+                      f"({retries_left} retries left)", flush=True)
+                continue
+            clean_repeats += 1
         results[cpus] = best
         print(f"local[{cpus}]: {best['urls_per_sec']} urls/sec "
               f"({best['fetched']} urls in {best['wall_sec']}s, "
-              f"{best['waves']} waves)")
+              f"{best['waves']} waves)"
+              + (f" [trailing burn eff {best['trailing_burn_eff']}]"
+                 if GATE else ""), flush=True)
         print(f"  stages: {best.get('stage_totals')}")
         print(f"  waves:  {best.get('wave_walls')}")
 
-    lo, hi = min(LEVELS), max(LEVELS)
     ratio = hi / lo
     eff = results[hi]["urls_per_sec"] / (ratio * results[lo]["urls_per_sec"])
     print(f"scaling efficiency local[{lo}] -> local[{hi}]: {eff:.3f}")
@@ -198,6 +243,17 @@ def run_parent() -> None:
         "size-capped driver state — carries no per-core shared bottleneck.)",
         "",
     ]
+    if GATE:
+        lines += [
+            f"Per-leg quiet-window gate: each leg started only after two",
+            f"consecutive burn probes measured eff >= {GATE}, and was retried",
+            "if its trailing burn fell below the gate.  Trailing burn eff: "
+            + ", ".join(
+                f"local[{c}]={results[c].get('trailing_burn_eff')}"
+                for c in LEVELS
+            ) + ".",
+            "",
+        ]
     if kernel:
         klo, khi = str(min(LEVELS)), str(max(LEVELS))
         lv = kernel.get("levels", {})
