@@ -1139,6 +1139,117 @@ SELECT q_id, vec_id, rank, d2 FROM (
 """
 
 
+def q_embedding_ann_ivfpq(spark, sf_dir):
+    """IVF + PQ composed (similarity.py:ivfadc_topk — the faiss-IVFPQ
+    dataflow): the coarse quantizer prunes WHICH vectors each query scores
+    (nprobe=3 of 8 shards), PQ codes shrink WHAT a candidate reads (8
+    bytes, never floats), exact re-rank of the top-50 refines.  The oracle
+    composes BOTH unrolled Lloyd steps (coarse c0→c1 and per-subspace
+    pc0→pc1); 6dp rounding before every rank/compare in both engines."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        ivfadc_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivfadc_topk(
+        emb, q, k=5, ncentroids=8, nprobe=3, m=8, ksub=16, subdim=8, rerank=50
+    )
+
+
+SQL_EMBEDDING_ANN_IVFPQ = """
+WITH v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 8),
+a0 AS MATERIALIZED (
+    SELECT vec_id, v, cid FROM (
+        SELECT v.vec_id, v.v, c0.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_distance(v.v, c0.cv)^2, 6), c0.cid) AS rn
+        FROM v, c0) WHERE rn = 1),
+c1 AS MATERIALIZED (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT cid, g.pos AS pos, avg(v[g.pos]) AS m
+        FROM a0, unnest(generate_series(1, 64)) AS g(pos)
+        GROUP BY cid, g.pos)
+    GROUP BY cid),
+a1 AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c1.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY round(list_distance(v.v, c1.cv)^2, 6), c1.cid) AS rn
+        FROM v, c1) WHERE rn = 1),
+sub AS MATERIALIZED (
+    SELECT vec_id, g.s AS s, v[g.s*8+1 : g.s*8+8] AS sv
+    FROM v, unnest(generate_series(0, 7)) AS g(s)),
+pc0 AS MATERIALIZED (
+    SELECT s, vec_id AS code, sv AS cv FROM sub
+    WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+pa0 AS MATERIALIZED (
+    SELECT vec_id, s, sv, code FROM (
+        SELECT sub.vec_id, sub.s, sub.sv, pc0.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_distance(sub.sv, pc0.cv)^2, 6), pc0.code)
+                 AS rn
+        FROM sub JOIN pc0 ON sub.s = pc0.s) WHERE rn = 1),
+pc1 AS MATERIALIZED (
+    SELECT s, code, list(mu ORDER BY pos) AS cv FROM (
+        SELECT s, code, g.pos AS pos, avg(sv[g.pos]) AS mu
+        FROM pa0, unnest(generate_series(1, 8)) AS g(pos)
+        GROUP BY s, code, g.pos) GROUP BY s, code),
+codes AS MATERIALIZED (
+    SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, pc1.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY round(list_distance(sub.sv, pc1.cv)^2, 6), pc1.code)
+                 AS rn
+        FROM sub JOIN pc1 ON sub.s = pc1.s) WHERE rn = 1),
+q AS MATERIALIZED (
+    SELECT vec_id AS q_id, v AS qv FROM v ORDER BY vec_id LIMIT 10),
+probes AS MATERIALIZED (
+    SELECT q_id, cid FROM (
+        SELECT q.q_id, c1.cid,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round(list_distance(q.qv, c1.cv)^2, 6), c1.cid) AS rn
+        FROM q, c1) WHERE rn <= 3),
+qsub AS MATERIALIZED (
+    SELECT q_id, g.s AS s, qv[g.s*8+1 : g.s*8+8] AS qsv
+    FROM q, unnest(generate_series(0, 7)) AS g(s)),
+dtab AS MATERIALIZED (
+    SELECT qsub.q_id, pc1.s, pc1.code, list_distance(qsub.qsv, pc1.cv)^2 AS d2
+    FROM qsub JOIN pc1 ON qsub.s = pc1.s),
+scored AS (
+    SELECT p.q_id, codes.vec_id, round(sum(d.d2), 6) AS approx_d2
+    FROM codes
+    JOIN a1 ON a1.vec_id = codes.vec_id
+    JOIN probes p ON p.cid = a1.cid
+    JOIN dtab d ON d.q_id = p.q_id AND d.s = codes.s AND d.code = codes.code
+    WHERE codes.vec_id <> p.q_id
+    GROUP BY p.q_id, codes.vec_id),
+cand AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY approx_d2, vec_id) AS rank
+        FROM scored) WHERE rank <= 50),
+exact AS (
+    SELECT c.q_id, c.vec_id, round(list_distance(qv.v, cv.v)^2, 6) AS d2
+    FROM cand c JOIN v qv ON qv.vec_id = c.q_id
+                JOIN v cv ON cv.vec_id = c.vec_id)
+SELECT q_id, vec_id, rank, d2 FROM (
+    SELECT q_id, vec_id, d2,
+           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+    FROM exact) WHERE rank <= 5
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-blocked semantic dedup —
     cluster with the same deterministic coarse quantizer as the IVF index
@@ -2113,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
         "semdedup": q_semdedup,
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2191,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
         "embedding_ann_ivf": SQL_EMBEDDING_ANN_IVF,
         "embedding_ann_pq": SQL_EMBEDDING_ANN_PQ,
+        "embedding_ann_ivfpq": SQL_EMBEDDING_ANN_IVFPQ,
         "semdedup": SQL_SEMDEDUP,
         "text_stats": _sql_text_stats(),
         "doc_fingerprint": SQL_FINGERPRINT,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_ann_ivf",
     "embedding_ann_pq",
+    "embedding_ann_ivfpq",
     "semdedup",
     "geocode_enrich",
     "politeness_select",

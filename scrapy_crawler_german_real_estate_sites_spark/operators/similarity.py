@@ -323,3 +323,99 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", "d2")
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame, queries: DataFrame, k=5,
+    ncentroids=8, nprobe=3, m=8, ksub=16, subdim=8, rerank=None,
+    id_col="vec_id", vec_col="embedding", q_id_col="q_id", q_vec_col="q_vec",
+) -> DataFrame:
+    """IVF + PQ composed — the faiss-IVFPQ dataflow: the coarse quantizer
+    prunes WHICH vectors each query scores (``nprobe``/``ncentroids`` of
+    the corpus), product-quantization codes shrink WHAT a scored
+    candidate reads (m small ints, never the floats), and ``rerank=R``
+    refines the top ADC candidates with exact d².  One honest
+    simplification vs faiss: codes quantize the RAW vectors, not the
+    coarse residuals — residual encoding buys accuracy at small ksub but
+    doubles the codebook machinery; the exact re-rank recovers the recall
+    here (and is itself standard faiss practice).
+
+    Scale shape = the union of its parts: centroids and codebooks are
+    O(ncentroids + m·ksub) broadcasts; the corpus-side state is the codes
+    table JOINED ONCE with its coarse assignment (cid, m codes per
+    vector — still ~32× smaller than the float corpus); each query's
+    probe set and distance table broadcast; scoring is a cid equi join
+    fanning out to nprobe shards followed by a map-side-combinable sum.
+    Returns (q_id, vec_id, rank, approx_d2) or (…, d2) with rerank."""
+    assigned, cents = assign_centroids(
+        corpus, ncentroids=ncentroids, id_col=id_col, vec_col=vec_col
+    )
+    codes, books = pq_encode(corpus, m, ksub, subdim, id_col, vec_col)
+    # corpus index: coarse shard + PQ codes, one equi join, built once
+    coded = codes.join(assigned.select("vec_id", "cid"), "vec_id")
+
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+    )
+    qs = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc(F.round("d2", 6)), F.asc("cid"))
+    probes = (
+        qs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "cid")
+    )
+    qsub = _subvectors(queries, m, subdim, q_id_col, q_vec_col).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("sv").alias("qsv")
+    )
+    dtab = qsub.join(F.broadcast(books), "s").select(
+        "q_id", "s", "code",
+        F.aggregate(
+            F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    scored = (
+        coded.join(F.broadcast(probes), "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(dtab), ["q_id", "s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w2))
+    if rerank is None:
+        return ranked.where(F.col("rank") <= k).select(
+            "q_id", "vec_id", "rank", "approx_d2"
+        )
+    cand = ranked.where(F.col("rank") <= rerank).select("q_id", "vec_id")
+    vv = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    exact = (
+        vv.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+        )
+    )
+    w3 = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w3))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "d2")
+    )

@@ -43,6 +43,9 @@ BNLJ_OK = {
     # sweep (similarity.assign_centroids); the pairwise candidate join
     # itself is a cid equi hash join
     "semdedup",
+    # same designed centroid broadcast for the query-probe ranking; the
+    # scoring joins are cid / (q_id,s,code) equi hash joins
+    "embedding_ann_ivfpq",
 }
 
 # iterative / crawl-driving queries: plan shape covered by the engine's

@@ -199,3 +199,62 @@ def test_pq_rerank_matches_exact_topk(spark):
         )
         for rank, (_, i) in enumerate(d[:3], start=1):
             assert got[(qid, rank)] == i, (qid, rank)
+
+
+def test_ivfadc_full_probe_full_rerank_equals_exact(spark):
+    """With every shard probed and the whole corpus re-ranked, the IVFPQ
+    composition must reproduce the exact L2 top-k — pruning and
+    quantization can then only reorder candidates the re-rank restores."""
+    import numpy as np
+
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        ivfadc_topk,
+    )
+
+    rows = _vectors(n=48, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(i, v) for i, v in rows[:5]], "q_id long, q_vec array<double>"
+    )
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in ivfadc_topk(
+            df, q, k=3, ncentroids=4, nprobe=4, m=4, ksub=8, subdim=4,
+            rerank=48,
+        ).collect()
+    }
+    V = {i: np.asarray(v) for i, v in rows}
+    for qid, qv in rows[:5]:
+        d = sorted(
+            (round(float(np.sum((V[i] - np.asarray(qv)) ** 2)), 6), i)
+            for i in V if i != qid
+        )
+        for rank, (_, i) in enumerate(d[:3], start=1):
+            assert got[(qid, rank)] == i, (qid, rank)
+
+
+def test_ivfadc_recall_on_planted_groups(spark):
+    """Pruned probing + ADC + re-rank keeps within-group recall high on
+    clustered data (the regime the index is for)."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        ivfadc_topk,
+    )
+
+    rows = _structured_vectors(groups=8, per=6, dim=32)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(i, v) for i, v in rows if i % 6 == 0],
+        "q_id long, q_vec array<double>",
+    )
+    got = {}
+    res = ivfadc_topk(
+        df, q, k=5, ncentroids=8, nprobe=2, m=4, ksub=16, subdim=8, rerank=12
+    ).collect()
+    for r in res:
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = total = 0
+    for qid, members in got.items():
+        group = {qid + d for d in range(1, 6)}
+        hits += len(members & group)
+        total += 5
+    assert total and hits / total >= 0.9, hits / total
