@@ -778,6 +778,60 @@ FROM read_parquet('{_fp("pages")}')
 """
 
 
+def q_warc_ingest(spark, sf_dir):
+    """Common-Crawl-style archive ingest (sources/warc.py): binaryFile
+    scan over per-record-gzip WARC segment files → one Arrow unframing
+    pass → north-rule pages projection, text/lang/hashes all JVM-side.
+    The oracle reads the fixture writer's ground truth and re-derives the
+    text/lang columns with the byte-identical SQL mirror of the
+    extraction chain — so the check proves the engine recovered the exact
+    framed bytes AND transformed them exactly as specified."""
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        pages_from_warc, warc_fixture, warc_scan,
+    )
+
+    wdir = warc_fixture(_fixture(sf_dir))
+    pages = pages_from_warc(warc_scan(spark, wdir))
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.octet_length("html").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+        F.length("text").alias("text_chars"),
+        F.col("lang").alias("lang_pred"),
+    )
+
+
+def _sql_warc_ingest() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.functions.textops import (
+        LANG_STOPWORDS,
+    )
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        sql_html_to_text,
+    )
+
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lg: _sql_lang_score(lg) for lg in langs}
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    exp = os.path.join(FIX_ROOT, ORACLE_TIER, "expected_warc.parquet")
+    return f"""
+WITH exp AS (SELECT url, warc_ts, html_str FROM read_parquet('{exp}')),
+base AS (
+  SELECT url, warc_ts, strlen(html_str) AS n_bytes, md5(html_str) AS html_md5,
+         {sql_html_to_text('html_str')} AS text
+  FROM exp),
+scored AS (
+  SELECT *, {", ".join(f"{scores[lg]} AS s_{lg}" for lg in langs)}
+  FROM base)
+SELECT url, warc_ts, n_bytes, html_md5, length(text) AS text_chars,
+       CASE WHEN {best} > 0 THEN {lang_case} ELSE 'unknown' END AS lang_pred
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -2210,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_enrich": q_geocode_enrich,
         "crawl_listings": q_crawl_listings,
         "multimodal_stub": q_multimodal_stub,
+        "warc_ingest": q_warc_ingest,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2257,6 +2312,12 @@ def oracle_sql() -> dict[str, str]:
         # the crawl-derived oracles read the golden simulator's expected
         # parquet from the tiny tier (written at generate time)
         generate("tiny", os.path.join(FIX_ROOT, "tiny"))
+        # the WARC-ingest oracle reads the archive writer's ground truth
+        from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+            warc_fixture,
+        )
+
+        warc_fixture(os.path.join(FIX_ROOT, ORACLE_TIER))
     except Exception:
         pass
     return {
@@ -2289,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_listings": SQL_CRAWL_LISTINGS,
         "alerts": SQL_ALERTS,
         "multimodal_stub": SQL_MULTIMODAL,
+        "warc_ingest": _sql_warc_ingest(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "url_normalize",
     "multimodal_stub",
+    "warc_ingest",
 ]
 
 
