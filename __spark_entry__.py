@@ -778,6 +778,156 @@ FROM read_parquet('{_fp("pages")}')
 """
 
 
+def q_host_url_hll(spark, sf_dir):
+    """Per-host HyperLogLog distinct-URL estimate next to the exact count
+    (operators/sketches.py:host_url_hll) — the mergeable 256-register
+    sketch a 10^10-URL frontier keeps per host for recrawl budgeting.
+    Deterministic md5-derived bucket/rho (string/CASE arithmetic, no
+    float log2) so the DuckDB oracle replays it register-for-register."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sketches import (
+        host_url_hll,
+    )
+
+    return host_url_hll(_fx(spark, sf_dir, "pages"))
+
+
+def _sql_host_url_hll() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sketches import (
+        _ALPHA, _M,
+    )
+
+    return f"""
+WITH p AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host, md5(url) AS h
+  FROM read_parquet('{_fp("pages")}')
+), f AS (
+  SELECT host, url,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
+         regexp_replace(substr(h, 3, 15), '^0+', '') AS tail
+  FROM p
+), r0 AS (
+  SELECT host, bucket,
+         CASE WHEN length(tail) = 0 THEN 61
+              ELSE 4 * (15 - length(tail))
+                   + CASE WHEN substr(tail, 1, 1) = '1' THEN 3
+                          WHEN substr(tail, 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(tail, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END
+                   + 1 END AS rho
+  FROM f
+), regs AS (
+  SELECT host, bucket, max(rho) AS m FROM r0 GROUP BY host, bucket
+), sk AS (
+  SELECT host, sum(pow(2.0, -m)) AS z_present, count(*) AS b FROM regs GROUP BY host
+), est AS (
+  SELECT host,
+         CASE WHEN CAST({_ALPHA!r} AS DOUBLE) * {_M * _M} / (z_present + ({_M} - b))
+                     <= {2.5 * _M}
+                   AND b < {_M}
+              THEN {_M}.0 * ln({_M}.0 / ({_M} - b))
+              ELSE CAST({_ALPHA!r} AS DOUBLE) * {_M * _M} / (z_present + ({_M} - b))
+         END AS e
+  FROM sk
+), ex AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(count(DISTINCT url) AS BIGINT) AS exact_distinct
+  FROM p GROUP BY host
+)
+SELECT ex.host, n_pages, exact_distinct,
+       round(e, 4) AS est_distinct,
+       round((e - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM ex JOIN est ON ex.host = est.host
+"""
+
+
+def q_url_traps(spark, sf_dir):
+    """Spider-trap triage per host (operators/traps.py:trap_report):
+    path-depth / loop-segment / query-explosion / calendar heuristics as
+    narrow column expressions, one hosts-wide rollup."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.traps import (
+        trap_report,
+    )
+
+    return trap_report(_fx(spark, sf_dir, "pages"))
+
+
+def _sql_url_traps() -> str:
+    return f"""
+WITH f AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM read_parquet('{_fp("pages")}')
+), g AS (
+  SELECT host,
+         len(list_filter(str_split(path, '/'), s -> s <> '')) AS depth,
+         len(list_filter(str_split(path, '/'), s -> s <> ''))
+           - len(list_distinct(list_filter(str_split(path, '/'), s -> s <> ''))) AS dup_segs,
+         CASE WHEN query = '' THEN 0
+              ELSE length(query) - length(replace(query, '&', '')) + 1 END AS n_params,
+         regexp_matches(path, '/(19|20)[0-9]{{2}}/[0-9]{{1,2}}(/|$)') AS calendar
+  FROM f
+), s AS (
+  SELECT *,
+         (depth > 6 OR dup_segs >= 2 OR n_params > 5 OR calendar) AS trap_suspect
+  FROM g
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN trap_suspect THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+       round(sum(CASE WHEN trap_suspect THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS suspect_share,
+       CAST(sum(CASE WHEN depth > 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep,
+       CAST(sum(CASE WHEN dup_segs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_loops,
+       CAST(sum(CASE WHEN n_params > 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_param_explosion,
+       CAST(sum(CASE WHEN calendar THEN 1 ELSE 0 END) AS BIGINT) AS n_calendar,
+       CAST(max(depth) AS INT) AS max_depth,
+       CAST(max(n_params) AS INT) AS max_params
+FROM s GROUP BY host
+"""
+
+
+def q_boilerplate(spark, sf_dir):
+    """Line-level boilerplate census over raw crawled HTML
+    (operators/boilerplate.py): jusText-lite link-density rule as array
+    expressions — zero shuffle, zero UDF; the stats are a projection of
+    the scan."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.boilerplate import (
+        boilerplate_stats,
+    )
+
+    return boilerplate_stats(_fx(spark, sf_dir, "pages"))
+
+
+def _sql_boilerplate() -> str:
+    vis = ("length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'),"
+           " ' {2,}', ' ', 'g')))")
+    nanch = "(length(l) - length(regexp_replace(l, '<a ', '', 'g'))) / 3"
+    content = f"({vis} > 0 AND NOT ({nanch} >= 1 AND {vis} < 40))"
+    return f"""
+SELECT url,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(coalesce(list_sum(list_transform(lines,
+            l -> CASE WHEN {content} THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS content_lines,
+       CAST(coalesce(list_sum(list_transform(lines,
+            l -> CASE WHEN {content} THEN 0 ELSE 1 END)), 0) AS BIGINT)
+         AS boiler_lines,
+       CAST(coalesce(list_sum(list_transform(lines,
+            l -> CASE WHEN {nanch} >= 1 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS link_lines,
+       CAST(coalesce(list_sum(list_transform(lines,
+            l -> CASE WHEN {content} THEN {vis} ELSE 0 END)), 0) AS BIGINT)
+         AS content_chars
+FROM (
+  SELECT url, str_split(text, chr(10)) AS lines
+  FROM read_parquet('{_fp("pages")}')
+)
+"""
+
+
 def q_warc_ingest(spark, sf_dir):
     """Common-Crawl-style archive ingest (sources/warc.py): binaryFile
     scan over per-record-gzip WARC segment files → one Arrow unframing
@@ -2265,6 +2415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_listings": q_crawl_listings,
         "multimodal_stub": q_multimodal_stub,
         "warc_ingest": q_warc_ingest,
+        "host_url_hll": q_host_url_hll,
+        "url_traps": q_url_traps,
+        "boilerplate": q_boilerplate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2351,6 +2504,9 @@ def oracle_sql() -> dict[str, str]:
         "alerts": SQL_ALERTS,
         "multimodal_stub": SQL_MULTIMODAL,
         "warc_ingest": _sql_warc_ingest(),
+        "host_url_hll": _sql_host_url_hll(),
+        "url_traps": _sql_url_traps(),
+        "boilerplate": _sql_boilerplate(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
