@@ -928,6 +928,90 @@ FROM (
 """
 
 
+def q_token_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketches.py:
+    token_cms_topk): CMS estimates next to exact counts for the top
+    tokens.  width=32 on the tiny fixture vocabulary so hash collisions
+    actually occur and the est >= exact overshoot is exercised."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sketches import (
+        token_cms_topk,
+    )
+
+    return token_cms_topk(_t(spark, sf_dir, "documents"), width=32, k=50)
+
+
+def _hex_int_sql(expr: str, nchars: int) -> str:
+    """DuckDB integer from the first ``nchars`` hex chars of ``expr``
+    via strpos arithmetic (DuckDB has no conv())."""
+    out = "0"
+    for i in range(1, nchars + 1):
+        out = (f"(({out}) * 16 + strpos('0123456789abcdef',"
+               f" substr({expr}, {i}, 1)) - 1)")
+    return out
+
+
+def _sql_token_cms() -> str:
+    width, depth, k = 32, 4, 50
+    bucket_cols = ", ".join(
+        _hex_int_sql(f"substr(md5('cms{i}:' || token), 1, 5)", 5)
+        + f" % {width} AS b{i}"
+        for i in range(depth)
+    )
+    counter_ctes = ", ".join(
+        f"c{i} AS (SELECT b{i}, sum(exact_cnt) AS c{i} FROM wb GROUP BY b{i})"
+        for i in range(depth)
+    )
+    joins = " ".join(f"JOIN c{i} USING (b{i})" for i in range(depth))
+    least = "least(" + ", ".join(f"c{i}" for i in range(depth)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY token
+), wb AS (
+  SELECT token, exact_cnt, {bucket_cols} FROM exact
+), top AS (
+  SELECT * FROM wb ORDER BY exact_cnt DESC, token LIMIT {k}
+), {counter_ctes}
+SELECT token, exact_cnt,
+       CAST({least} AS BIGINT) AS cms_est,
+       CAST({least} - exact_cnt AS BIGINT) AS overestimate
+FROM top {joins}
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py:weighted_sample): char-mass-proportional
+    top-k via deterministic u^(1/w) keys — one map expression plus
+    TakeOrderedAndProject, no global sort."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=100)
+
+
+def _sql_weighted_sample() -> str:
+    u_int = _hex_int_sql(
+        "substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)", 15
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CASE WHEN n_chars > 0
+              THEN pow((CAST({u_int} AS DOUBLE) + 0.5) / 1152921504606846976.0,
+                       1.0 / n_chars)
+              ELSE -1.0 END AS sample_key
+  FROM documents
+)
+SELECT doc_id, weight, sample_key FROM b
+ORDER BY sample_key DESC, doc_id LIMIT 100
+"""
+
+
 def q_warc_ingest(spark, sf_dir):
     """Common-Crawl-style archive ingest (sources/warc.py): binaryFile
     scan over per-record-gzip WARC segment files → one Arrow unframing
@@ -2418,6 +2502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_hll": q_host_url_hll,
         "url_traps": q_url_traps,
         "boilerplate": q_boilerplate,
+        "token_cms": q_token_cms,
+        "weighted_sample": q_weighted_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2507,6 +2593,8 @@ def oracle_sql() -> dict[str, str]:
         "host_url_hll": _sql_host_url_hll(),
         "url_traps": _sql_url_traps(),
         "boilerplate": _sql_boilerplate(),
+        "token_cms": _sql_token_cms(),
+        "weighted_sample": _sql_weighted_sample(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,

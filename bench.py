@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "url_normalize",
     "multimodal_stub",
     "warc_ingest",
+    "host_url_hll",
+    "url_traps",
+    "boilerplate",
+    "token_cms",
+    "weighted_sample",
 ]
 
 

@@ -282,3 +282,47 @@ def shard_pack(
             ).cast("bigint").alias("shard_id"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    (IPL 2006): each row draws key = u^(1/w) from a deterministic
+    uniform u, and the k largest keys ARE a weight-proportional sample
+    without replacement.  The one-pass/top-k formulation is the whole
+    point at corpus scale: no global sort, no rejection loop — the plan
+    is a map expression + TakeOrderedAndProject, and the same keys
+    merge across partitions, days, or engines (the md5-derived u makes
+    the draw reproducible anywhere, including the DuckDB oracle).
+
+    u comes from a 60-bit md5 fraction, offset by half an ulp so u > 0;
+    rows with non-positive weight never win (key -1).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -80,6 +80,71 @@ def hll_bucket_rho(url_col: str = "url") -> tuple[Column, Column]:
     return bucket, rho
 
 
+def cms_bucket(value: Column, seed: str, width: int) -> Column:
+    """Count-min row hash: first 5 hex chars (20 bits) of the seeded md5,
+    mod ``width`` — string arithmetic only, so DuckDB derives the same
+    bucket (Cormode & Muthukrishnan, J.Alg 2005 use pairwise-independent
+    hashes; seeded md5 slices are the engine-portable stand-in)."""
+    h = F.md5(F.concat(F.lit(seed + ":"), value))
+    return (F.conv(F.substring(h, 1, 5), 16, 10).cast("long") % width).cast("int")
+
+
+def token_cms_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 50,
+) -> DataFrame:
+    """Heavy-hitter tokens with their count-min estimates next to exact
+    counts: (token, exact_cnt, cms_est, overestimate).
+
+    The production shape: the sketch is ``depth`` arrays of ``width``
+    counters — 16 KiB of mergeable state per partition regardless of
+    vocabulary size, merged by addition.  At small SF the counters are
+    built from the pre-aggregated token table (identical semantics to
+    per-occurrence increments, one shuffle narrower), and the exact
+    counts ride along as the verifier.  Counter tables are ``width``
+    rows, so the estimate lookups are broadcast joins; the top-k is
+    TakeOrderedAndProject.  CMS guarantees est >= exact, with overshoot
+    bounded by e*N/width w.p. 1-exp(-depth).
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    with_buckets = exact.select(
+        "token",
+        "exact_cnt",
+        *[
+            cms_bucket(F.col("token"), f"cms{i}", width).alias(f"b{i}")
+            for i in range(depth)
+        ],
+    )
+    top = with_buckets.orderBy(
+        F.desc("exact_cnt"), F.asc("token")
+    ).limit(k)
+    est_cols = []
+    for i in range(depth):
+        counters = (
+            with_buckets.groupBy(f"b{i}")
+            .agg(F.sum("exact_cnt").alias(f"c{i}"))
+        )
+        top = top.join(F.broadcast(counters), f"b{i}")
+        est_cols.append(F.col(f"c{i}"))
+    cms = F.least(*est_cols)
+    return top.select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        cms.cast("bigint").alias("cms_est"),
+        (cms - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
 def host_url_hll(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-host HLL distinct-URL estimate next to the exact count.
 

@@ -92,3 +92,107 @@ def test_rho_distribution_sane():
     rhos = [py_bucket_rho(u)[1] for u in urls]
     assert 1.8 < sum(rhos) / len(rhos) < 2.2
     assert max(rhos) <= _RHO_MAX
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def py_cms_bucket(tok: str, seed: str, width: int) -> int:
+    h = hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()
+    return int(h[:5], 16) % width
+
+
+def test_cms_matches_python_reference(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sketches import (
+        token_cms_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b b c c c d d d d e " + "hot " * (i % 5)) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    width, depth = 8, 4
+    got = {r["token"]: r for r in token_cms_topk(docs, width=width, k=50).collect()}
+
+    # exact counts in python
+    from collections import Counter
+
+    exact = Counter()
+    for i in range(40):
+        exact.update(("a b b c c c d d d d e " + "hot " * (i % 5)).split())
+    counters = [Counter() for _ in range(depth)]
+    for tok, c in exact.items():
+        for d in range(depth):
+            counters[d][py_cms_bucket(tok, f"cms{d}", width)] += c
+    for tok, c in exact.items():
+        est = min(
+            counters[d][py_cms_bucket(tok, f"cms{d}", width)] for d in range(depth)
+        )
+        assert got[tok]["exact_cnt"] == c
+        assert got[tok]["cms_est"] == est
+
+
+def test_cms_never_underestimates(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sketches import (
+        token_cms_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(u,) for u in [f"w{i % 7} common w{i % 13}" for i in range(200)]],
+        ["text"],
+    )
+    rows = token_cms_topk(docs, width=4, k=50).collect()
+    assert rows
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+def py_es_key(doc_id, weight, salt="wsample-v1"):
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    u = (int(h[:15], 16) + 0.5) / float(1 << 60)
+    return u ** (1.0 / weight) if weight > 0 else -1.0
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 10 + (i * 37) % 900) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = weighted_sample(df, k=50).collect()
+    expect = sorted(rows, key=lambda r: (-py_es_key(r[0], r[1]), r[0]))[:50]
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+
+
+def test_weighted_sample_proportional(spark):
+    """Across independent salts, heavy rows win far more often."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1000 if i < 50 else 10) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    heavy = 0
+    for s in range(5):
+        got = weighted_sample(df, k=50, salt=f"s{s}").collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 50)
+    # heavy rows are 10% of rows but 10x weight -> expect ~80%+ of picks
+    assert heavy / 250 > 0.6
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, -5), (4, 100)], ["doc_id", "n_chars"]
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, k=2).collect()}
+    assert got == {1, 4}
