@@ -42,6 +42,10 @@ TIERS = {
     # sf0.6 extends the Amdahl-trend measurement one more doubling
     "sf0.3": {"cities": 4500},
     "sf0.6": {"cities": 9000},
+    # sf1.2 doubles sf0.6 once more: the point where the flat per-wave
+    # maintenance terms are predicted to fall under ~12% of the 32-leg
+    # wall and 8->32 efficiency should approach the parse-kernel ceiling
+    "sf1.2": {"cities": 18000},
 }
 
 COMBOS = [(0, 0), (0, 1), (1, 1)]
