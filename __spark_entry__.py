@@ -928,6 +928,103 @@ FROM (
 """
 
 
+def q_capture_diff(spark, sf_dir):
+    """Crawl-snapshot delta per host (operators/temporal.py:
+    capture_diff): the fixture's capture window split at its epoch
+    midpoint — computed in-plan (broadcast 1-row aggregate), no driver
+    round-trip — and the two halves diffed as captures A and B."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.temporal import (
+        capture_diff,
+    )
+
+    # warc_ts is TIMESTAMP_NTZ; build epoch-us from wall-clock components
+    # (unix_date + hour/minute/fractional-second) so the value is
+    # session-timezone- and DST-independent and matches DuckDB's
+    # epoch_us(naive-ts-as-UTC) exactly.
+    ntz_us = F.expr(
+        "unix_date(cast(warc_ts as date)) * 86400000000L"
+        " + cast(hour(warc_ts) as bigint) * 3600000000L"
+        " + cast(minute(warc_ts) as bigint) * 60000000L"
+        " + cast(date_part('second', warc_ts) * 1000000 as bigint)"
+    )
+    p = _fx(spark, sf_dir, "pages").select("url", "text", ntz_us.alias("us"))
+    cut = p.agg(
+        F.floor((F.min("us") + F.max("us")) / 2).cast("long").alias("cut")
+    )
+    pc = p.crossJoin(F.broadcast(cut))
+    return capture_diff(
+        pc.where(F.col("us") < F.col("cut")),
+        pc.where(F.col("us") >= F.col("cut")),
+    )
+
+
+def _sql_capture_diff() -> str:
+    return f"""
+WITH p AS (
+  SELECT url, text, epoch_us(warc_ts) AS us FROM read_parquet('{_fp("pages")}')
+), cut AS (
+  SELECT CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS c FROM p
+), a AS (
+  SELECT url, md5(text) AS ha FROM p WHERE us < (SELECT c FROM cut)
+), b AS (
+  SELECT url, md5(text) AS hb FROM p WHERE us >= (SELECT c FROM cut)
+), j AS (
+  SELECT coalesce(a.url, b.url) AS url, ha, hb
+  FROM a FULL OUTER JOIN b ON a.url = b.url
+), s AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         CASE WHEN ha IS NULL THEN 'added'
+              WHEN hb IS NULL THEN 'removed'
+              WHEN ha <> hb THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM j
+)
+SELECT host,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       round(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS churn
+FROM s GROUP BY host
+"""
+
+
+def q_host_graph(spark, sf_dir):
+    """Domain-level link graph (operators/graph.py:host_graph): the URL
+    edge list collapsed to host pairs — output bounded by host-pairs,
+    the scheduler's discovery/budget view."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.graph import (
+        extract_edges, host_graph,
+    )
+
+    return host_graph(extract_edges(_fx(spark, sf_dir, "pages")))
+
+
+def _sql_host_graph() -> str:
+    return f"""
+WITH raw AS (
+  SELECT url AS src,
+         regexp_extract(url, '^(https?://[^/]+)', 1) AS base,
+         unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS link
+  FROM read_parquet('{_fp("pages")}')
+), resolved AS (
+  SELECT src,
+         regexp_replace(
+           CASE WHEN link LIKE 'http://%' OR link LIKE 'https://%' THEN link
+                WHEN link LIKE '/%' THEN base || link END, '#.*$', '') AS dst
+  FROM raw
+), edges AS (
+  SELECT DISTINCT src, dst FROM resolved WHERE dst IS NOT NULL AND dst <> src
+)
+SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+       regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       regexp_extract(src, '^https?://([^/]+)', 1)
+         = regexp_extract(dst, '^https?://([^/]+)', 1) AS intra
+FROM edges GROUP BY 1, 2
+"""
+
+
 def q_token_cms(spark, sf_dir):
     """Count-min-sketch heavy hitters (operators/sketches.py:
     token_cms_topk): CMS estimates next to exact counts for the top
@@ -2504,6 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "token_cms": q_token_cms,
         "weighted_sample": q_weighted_sample,
+        "capture_diff": q_capture_diff,
+        "host_graph": q_host_graph,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2595,6 +2694,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": _sql_boilerplate(),
         "token_cms": _sql_token_cms(),
         "weighted_sample": _sql_weighted_sample(),
+        "capture_diff": _sql_capture_diff(),
+        "host_graph": _sql_host_graph(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,

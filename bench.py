@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "boilerplate",
     "token_cms",
     "weighted_sample",
+    "capture_diff",
+    "host_graph",
 ]
 
 

@@ -192,3 +192,22 @@ def anchor_text(pages: DataFrame, url_col="url", html_col="text") -> DataFrame:
         .select("dst", F.col("anchor").alias("top_anchor"))
     )
     return totals.join(top, "dst")
+
+
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Host-level link graph: collapse the URL edge list to
+    (src_host, dst_host, n_links, intra) — the domain-level view the
+    crawl scheduler actually budgets on (inter-host edges are the
+    discovery signal; intra-host edges are site structure).
+
+    Pure rollup of the already-distinct URL edges: the groupBy is
+    map-side combinable and its output is bounded by host-pairs, so the
+    exchange is tiny regardless of how many URL edges a portal has.
+    """
+    h = lambda c: F.regexp_extract(F.col(c), r"^https?://([^/]+)", 1)  # noqa: E731
+    return (
+        edges.select(h("src").alias("src_host"), h("dst").alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+        .withColumn("intra", F.col("src_host") == F.col("dst_host"))
+    )

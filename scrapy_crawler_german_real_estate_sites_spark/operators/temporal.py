@@ -147,3 +147,53 @@ def asof_join(
             F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_r.rts"))
         ).alias("wait_us"),
     )
+
+
+def capture_diff(
+    a: DataFrame,
+    b: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Per-host crawl-snapshot delta: what changed between two captures.
+
+    The recrawl scheduler's core input (Cho & Garcia-Molina, VLDB 2000
+    estimate change rates from exactly this signal): given capture A and
+    capture B of the same web slice, classify every URL as added /
+    removed / changed / unchanged (content compared by md5, so the wide
+    html/text columns never cross the diff shuffle — only 32-byte
+    hashes) and roll the churn up per host.
+
+    Scale shape: one full-outer equi-join on url — the inherent diff
+    exchange — carrying (url, hash) pairs only; the host rollup is
+    map-side combinable.  ``churn`` = (added+removed+changed)/total.
+    """
+    fa = a.select(
+        F.col(url_col).alias("url"), F.md5(F.col(content_col)).alias("ha")
+    )
+    fb = b.select(
+        F.col(url_col).alias("url"), F.md5(F.col(content_col)).alias("hb")
+    )
+    j = fa.join(fb, "url", "full_outer")
+    status = (
+        F.when(F.col("ha").isNull(), "added")
+        .when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("unchanged")
+    )
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    base = j.select(host.alias("host"), status.alias("status"))
+
+    def cnt(s: str):
+        return F.sum((F.col("status") == s).cast("int")).cast("bigint")
+
+    n = F.count("*")
+    return base.groupBy("host").agg(
+        cnt("added").alias("n_added"),
+        cnt("removed").alias("n_removed"),
+        cnt("changed").alias("n_changed"),
+        cnt("unchanged").alias("n_unchanged"),
+        F.round(
+            F.sum((F.col("status") != "unchanged").cast("int")) / n, 4
+        ).alias("churn"),
+    )

@@ -65,3 +65,30 @@ def test_no_shuffle_in_plan(spark, fix_small):
     pages = spark.read.parquet(os.path.join(fix_small, "pages.parquet"))
     plan = boilerplate_stats(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_health_job_end_to_end(spark, fix_small, tmp_path):
+    """The composed crawl-health report job over the small fixture."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "health")
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    r = subprocess.run(
+        [sys.executable, os.path.join(env["PYTHONPATH"], "jobs", "health_job.py"),
+         "--pages", os.path.join(fix_small, "pages.parquet"), "--out", out],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["hosts"] > 0 and summary["pages"] > 0
+    rep = spark.read.parquet(out)
+    cols = set(rep.columns)
+    assert {"host", "n_pages", "est_distinct", "suspect_share",
+            "content_chars", "boiler_line_share", "in_links",
+            "out_links"} <= cols
+    # every host in the report exactly once
+    assert rep.count() == rep.select("host").distinct().count()

@@ -90,3 +90,25 @@ def test_anchor_text_rollup_and_plan(spark):
     # top-1 rank filter must run as the pre-shuffle group limit
     plan = anchor_text(pages)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_host_graph_rollup(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.graph import (
+        host_graph,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.x/1", "https://a.x/2"),
+            ("https://a.x/1", "https://b.x/1"),
+            ("https://a.x/2", "https://b.x/1"),
+            ("https://b.x/1", "https://a.x/1"),
+        ],
+        ["src", "dst"],
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r for r in host_graph(edges).collect()
+    }
+    assert got[("a.x", "a.x")]["n_links"] == 1 and got[("a.x", "a.x")]["intra"]
+    assert got[("a.x", "b.x")]["n_links"] == 2 and not got[("a.x", "b.x")]["intra"]
+    assert got[("b.x", "a.x")]["n_links"] == 1

@@ -46,6 +46,9 @@ BNLJ_OK = {
     # same designed centroid broadcast for the query-probe ranking; the
     # scoring joins are cid / (q_id,s,code) equi hash joins
     "embedding_ann_ivfpq",
+    # 1-row epoch-midpoint scalar broadcast splitting the capture window
+    # in-plan; the diff itself is a full-outer url equi hash join
+    "capture_diff",
 }
 
 # iterative / crawl-driving queries: plan shape covered by the engine's
@@ -106,7 +109,8 @@ def test_scan_filters_pushed(plans, name):
     )
 
 
-@pytest.mark.parametrize("name", ["sorted_scan_limit", "bm25_search"])
+@pytest.mark.parametrize("name", ["sorted_scan_limit", "bm25_search",
+                                  "weighted_sample", "token_cms"])
 def test_topk_is_take_ordered(plans, name):
     assert "TakeOrderedAndProject" in plans[name], (
         f"{name}: top-k fell back to a global sort"

@@ -166,3 +166,49 @@ def test_asof_plan_has_no_python_eval(events_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# capture diff (recrawl delta)
+# ---------------------------------------------------------------------------
+
+def test_capture_diff_classifies_all_four(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.temporal import (
+        capture_diff,
+    )
+
+    a = spark.createDataFrame(
+        [
+            ("https://h1.x/keep", "same"),
+            ("https://h1.x/edit", "old content"),
+            ("https://h1.x/gone", "bye"),
+        ],
+        ["url", "text"],
+    )
+    b = spark.createDataFrame(
+        [
+            ("https://h1.x/keep", "same"),
+            ("https://h1.x/edit", "new content"),
+            ("https://h1.x/new", "hi"),
+        ],
+        ["url", "text"],
+    )
+    r = {row["host"]: row for row in capture_diff(a, b).collect()}["h1.x"]
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) == (
+        1, 1, 1, 1,
+    )
+    assert abs(r["churn"] - 0.75) < 1e-9
+
+
+def test_capture_diff_per_host_isolation(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.temporal import (
+        capture_diff,
+    )
+
+    a = spark.createDataFrame(
+        [("https://a.x/1", "t"), ("https://b.x/1", "t")], ["url", "text"]
+    )
+    b = spark.createDataFrame([("https://a.x/1", "t")], ["url", "text"])
+    got = {r["host"]: r for r in capture_diff(a, b).collect()}
+    assert got["a.x"]["n_unchanged"] == 1 and got["a.x"]["churn"] == 0.0
+    assert got["b.x"]["n_removed"] == 1 and got["b.x"]["churn"] == 1.0

@@ -7,6 +7,7 @@
 # — the same command line works against YARN/k8s/standalone masters; the
 # sandbox default is local[N].
 #   tools/submit.sh --job corpus --in .../documents.parquet --out /tmp/clean
+#   tools/submit.sh --job health --pages .../pages.parquet --out /tmp/health
 # picks the corpus-hygiene job (jobs/corpus_job.py); --job retention the
 # delete sweep; default is the crawl.
 set -euo pipefail
