@@ -66,6 +66,27 @@ def hardware_ceiling(levels):
     return out
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Total JVM GC time (ms) so far — delta across the measured window
+    tells whether a leg was GC-bound (the sf1.2 anomaly diagnostic)."""
+    beans = spark._jvm.java.lang.management.ManagementFactory \
+        .getGarbageCollectorMXBeans()
+    it, total = beans.iterator(), 0
+    while it.hasNext():
+        total += it.next().getCollectionTime()
+    return int(total)
+
+
+def _cache_status(spark):
+    """(mem_bytes, disk_bytes) across cached RDDs — disk > 0 means the
+    pages cache did not fit the storage pool and waves re-read spill."""
+    mem = disk = 0
+    for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+        mem += info.memSize()
+        disk += info.diskSize()
+    return int(mem), int(disk)
+
+
 def run_child(cpus: int) -> None:
     import __spark_entry__ as E
     from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import CrawlEngine
@@ -88,10 +109,13 @@ def run_child(cpus: int) -> None:
     warm_eng.run(max_waves=100)
     warm_eng.close()
     spark.catalog.clearCache()
+    gc0 = _jvm_gc_ms(spark)
     t0 = time.time()
     eng = CrawlEngine(spark, fix, hour=7, track_order=False)
     summary = eng.run(max_waves=100)
     wall = time.time() - t0
+    gc_ms = _jvm_gc_ms(spark) - gc0
+    cache_mem, cache_disk = _cache_status(spark)
     stages = {}
     for m in eng.metrics:
         for k, v in m.get("stages", {}).items():
@@ -105,6 +129,10 @@ def run_child(cpus: int) -> None:
         "urls_per_sec": round(summary["fetched"] / wall, 2) if wall else 0.0,
         "stage_totals": stages,
         "wave_walls": [m.get("wall_ms") for m in eng.metrics],
+        "gc_sec": round(gc_ms / 1000.0, 1),
+        "cache_mem_gb": round(cache_mem / 2**30, 2),
+        "cache_disk_gb": round(cache_disk / 2**30, 2),
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g"),
     }))
 
 
@@ -169,6 +197,10 @@ def run_parent() -> None:
                  if GATE else ""), flush=True)
         print(f"  stages: {best.get('stage_totals')}")
         print(f"  waves:  {best.get('wave_walls')}")
+        print(f"  gc: {best.get('gc_sec')}s | pages cache: "
+              f"{best.get('cache_mem_gb')} GB mem / "
+              f"{best.get('cache_disk_gb')} GB disk spill "
+              f"(heap {best.get('driver_mem')})", flush=True)
 
     ratio = hi / lo
     eff = results[hi]["urls_per_sec"] / (ratio * results[lo]["urls_per_sec"])
