@@ -250,6 +250,99 @@ def pipeline_pass(parsed: DataFrame, state_snap_bc, stadte_by_id: dict,
     )
 
 
+# The columnar page cache is compressed: measured ~1.5x the parquet bytes
+# on the sf1.2 tier (3.85 GB parquet -> ~5.6 GB block-manager storage once
+# the accumulated checkpoint blocks are subtracted; see
+# BENCH/engine_runs_sf12_r3.json).  2.0 is the conservative planning ratio.
+_CACHE_DECODE_RATIO = 2.0
+# The items the crawl emits (wide JSON payload rows) total ~5.9x the pages
+# parquet bytes when pinned as checkpoint blocks (22.6 GB vs 3.85 GB at
+# sf1.2).  Planning ratio for the spill decision below.
+_ITEMS_PIN_RATIO = 6.0
+# Keep in-pool state (cache or pinned item blocks) under this share of the
+# unified pool — the rest stays execution memory for concurrent tasks.
+_POOL_SHARE = 0.5
+
+
+def _heap_bytes(size: str) -> int:
+    s = size.strip().lower()
+    mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}.get(s[-1], 1)
+    return int(float(s[:-1] if s[-1] in "kmgt" else s)) * mult
+
+
+def _pages_parquet_bytes(fix_dir: str):
+    """On-disk bytes of the pages table, or None for non-parquet layouts."""
+    pages_path = os.path.join(fix_dir, "pages.parquet")
+    if os.path.isfile(pages_path):
+        return os.path.getsize(pages_path)
+    if os.path.isdir(pages_path):
+        total = 0
+        for root, _dirs, files in os.walk(pages_path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
+            )
+        return total
+    return None
+
+
+def _unified_pool_bytes(spark: SparkSession) -> float:
+    # local mode: the driver heap IS the executor heap
+    heap = _heap_bytes(spark.conf.get("spark.driver.memory", "1g"))
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    return (heap - 300 * 2**20) * frac
+
+
+def _should_cache_pages(spark: SparkSession, fix_dir: str) -> bool:
+    """Data-sized pages-cache decision.
+
+    Caching the (url, html) projection wins while it fits: waves 2..N
+    probe decoded in-memory blocks instead of re-reading parquet.  But
+    storage and execution share one unified pool
+    (``spark.memory.fraction`` of heap − 300 MB), and storage that fills
+    the pool starves every concurrent task's execution memory.  At
+    cluster scale the uncached path is the normal shape anyway: an
+    Iceberg-bucketed scan re-reads the pages table per wave with
+    predicate pushdown, and the OS page cache absorbs the hot blocks.
+
+    ``SPARK_GRAFT_PAGES_CACHE=0/1`` forces either path.
+    """
+    forced = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
+    if forced in ("0", "1"):
+        return forced == "1"
+    parquet_bytes = _pages_parquet_bytes(fix_dir)
+    if parquet_bytes is None:
+        return True  # unknown layout (Iceberg catalog): keep the cache
+    pool = _unified_pool_bytes(spark)
+    return parquet_bytes * _CACHE_DECODE_RATIO <= _POOL_SHARE * pool
+
+
+def _should_spill_items(spark: SparkSession, fix_dir: str) -> bool:
+    """Data-sized item-sink decision.
+
+    Each wave's pipeline output checkpoints eagerly, and the lazy item
+    batches root in those WIDE blocks (item_json / doc_json payloads) —
+    keeping them pinned for the whole run accumulates O(total items)
+    block-manager storage (measured 22.6 GB at sf1.2, crowding the
+    35.9 GB unified pool and starving the 32 concurrent tasks' execution
+    memory; BENCH/engine_runs_sf12_r3.json).  Past the threshold the
+    engine instead APPENDS each wave's item batch to a parquet sink and
+    releases the wave's pass blocks — the streaming-insert shape a
+    cluster deployment uses unconditionally (the reference's per-item
+    Mongo insert, demo_crawl/pipelines.py:360-404, batched per wave).
+
+    ``SPARK_GRAFT_SPILL_ITEMS=0/1`` forces either path.
+    """
+    forced = os.environ.get("SPARK_GRAFT_SPILL_ITEMS")
+    if forced in ("0", "1"):
+        return forced == "1"
+    parquet_bytes = _pages_parquet_bytes(fix_dir)
+    if parquet_bytes is None:
+        return False
+    pool = _unified_pool_bytes(spark)
+    return parquet_bytes * _ITEMS_PIN_RATIO > _POOL_SHARE * pool
+
+
 class CrawlEngine:
     _SEEN_FOLD = 4  # fold the lazy seen-union every N waves
 
@@ -313,13 +406,44 @@ class CrawlEngine:
         # whole parse stage (~25% of stage time measured at local[8]).
         # uniform url-hash partitions sized ~4 tasks/core fix both; at
         # cluster scale this is the Iceberg url-bucketed layout.
-        n_page_parts = max(4 * spark.sparkContext.defaultParallelism, 16)
-        self.pages = (
-            tables.load_pages(spark, fix_dir)
-            .select("url", "html")
-            .repartition(n_page_parts, "url")
-            .cache()
-        )
+        #
+        # BUT block-manager storage must not crowd the unified memory
+        # pool: storage beyond ~half the pool starves the concurrent
+        # tasks' execution memory — the sf1.2 instrumented legs measured
+        # parse-stage cost per URL DOUBLING (56.3us vs 29.3us at sf0.6)
+        # with GC and storage-spill both ruled out
+        # (BENCH/engine_runs_sf12_r3.json).  So both in-pool state terms
+        # are data-sized decisions, not constants: cache the pages only
+        # while the estimated footprint fits (else scan the parquet per
+        # wave — fine-grained 16 MB splits keep the stage skew-free
+        # without the repartition, whose shuffle would recompute per wave
+        # on the uncached plan), and spill item batches once their pinned
+        # total would crowd the pool (below).
+        self.pages_cached = _should_cache_pages(spark, fix_dir)
+        # big tiers: sink each wave's item batch to parquet and release
+        # the wave's wide pass blocks instead of pinning them all run
+        # (see _should_spill_items) — the per-wave insert a cluster
+        # deployment does against the items table unconditionally
+        self.spill_items = _should_spill_items(spark, fix_dir)
+        self._spill_dir = None
+        if self.spill_items:
+            import tempfile
+
+            base = self.workdir or tempfile.gettempdir()
+            os.makedirs(base, exist_ok=True)
+            self._spill_dir = tempfile.mkdtemp(
+                prefix="crawl_items_", dir=base
+            )
+        if self.pages_cached:
+            n_page_parts = max(4 * spark.sparkContext.defaultParallelism, 16)
+            self.pages = (
+                tables.load_pages(spark, fix_dir)
+                .select("url", "html")
+                .repartition(n_page_parts, "url")
+                .cache()
+            )
+        else:
+            self.pages = tables.load_pages(spark, fix_dir).select("url", "html")
         seeds = tables.load_seeds(spark, fix_dir)
         stadte = tables.load_stadte(spark, fix_dir)
         self.robots = tables.load_robots(spark, fix_dir)
@@ -753,24 +877,34 @@ class CrawlEngine:
         # checkpoint lands (pipeline checkpoint + links append both done);
         # unlike ``passed`` nothing later roots in them
         self._unpersist_later(parsed)
-        # NOTE: ``passed`` blocks must stay alive — the lazy seen-set
-        # increments and item batches root in them, and a localCheckpoint
-        # has no lineage to recompute from.  They are bounded by the run's
-        # total parse output (the crawl's actual result set); a production
-        # run appends them to Iceberg instead of the block manager.
         # n_new_links counts post-stopped-drop rows (diagnostics) — a
         # metadata-cheap filter over the fresh checkpoint's blocks
         n_new_links = self.tagged.where(F.col("depth") == it + 1).count()
         _mark('frontier')
 
-        # --- logs + metrics (item batches stay lazy: they root in the
-        # checkpointed pass output, so accumulating them costs no job)
-        self.out_batches["items"].append(
-            item_rows.select(
-                "seed_id", "fifo_seq", "item_idx", "url", "item_json",
-                "item_kind", "doc_json", "seen_url", "alert", "failure"
-            )
+        # --- item outputs.  Small tiers: batches stay lazy (they root in
+        # the checkpointed pass output, so accumulating them costs no job)
+        # and ``passed`` blocks must then stay alive all run — a
+        # localCheckpoint has no lineage to recompute from.  Big tiers
+        # (self.spill_items): append the wave's batch to the parquet sink
+        # and queue ``passed`` for release like every other wave snapshot,
+        # so block-manager storage stays bounded by TWO waves instead of
+        # O(total items) — the per-wave items-table insert a cluster
+        # deployment does unconditionally (reference pipelines.py:360-404,
+        # batched; here parquet, Iceberg append under the table-format
+        # switch).  The lazy seen-set increments survive this: ``inserts``
+        # is a non-eager localCheckpoint whose narrow blocks materialized
+        # during this wave's state job, so the seen union roots in those,
+        # not in ``passed``.
+        item_batch = item_rows.select(
+            "seed_id", "fifo_seq", "item_idx", "url", "item_json",
+            "item_kind", "doc_json", "seen_url", "alert", "failure"
         )
+        if self.spill_items:
+            item_batch.write.mode("append").parquet(self._spill_dir)
+            self._unpersist_later(passed)
+        else:
+            self.out_batches["items"].append(item_batch)
         if self.track_order:
             fetch_rows = (
                 pages_out.where(F.col("counted"))
@@ -849,6 +983,11 @@ class CrawlEngine:
         self.seen = None
         self._trash.clear()
         self.out_batches = {"items": [], "docs": [], "alerts": []}
+        if self._spill_dir:
+            import shutil
+
+            shutil.rmtree(self._spill_dir, ignore_errors=True)
+            self._spill_dir = None
         self._closed = True
 
     def _check_open(self):
@@ -863,6 +1002,8 @@ class CrawlEngine:
     def items_df(self) -> DataFrame:
         self._check_open()
         dfs = [d for d in self.out_batches["items"]]
+        if self.spill_items and self._spill_dir and os.listdir(self._spill_dir):
+            dfs.append(self.spark.read.parquet(self._spill_dir))
         if not dfs:
             return self.spark.createDataFrame(
                 [], "seed_id string, fifo_seq long, item_idx int, url string,"
