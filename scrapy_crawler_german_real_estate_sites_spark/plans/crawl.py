@@ -265,7 +265,13 @@ _POOL_SHARE = 0.5
 
 
 def _heap_bytes(size: str) -> int:
+    # Accept the full Spark byteStringAsBytes surface: "4g", "4gb",
+    # "512m", "512mb", bare byte counts.  (Two-letter suffixes are
+    # Spark-valid and arrive via SPARK_GRAFT_DRIVER_MEM or a
+    # user-built session.)
     s = size.strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in "kmgt":
+        s = s[:-1]
     mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}.get(s[-1], 1)
     return int(float(s[:-1] if s[-1] in "kmgt" else s)) * mult
 
@@ -287,8 +293,21 @@ def _pages_parquet_bytes(fix_dir: str):
 
 
 def _unified_pool_bytes(spark: SparkSession) -> float:
-    # local mode: the driver heap IS the executor heap
-    heap = _heap_bytes(spark.conf.get("spark.driver.memory", "1g"))
+    # local mode: the driver heap IS the executor heap.  The conf string
+    # is absent when the session wasn't built by get_spark (user session
+    # with JVM defaults) — falling back to "1g" would underestimate the
+    # pool ~56x and silently force the spill/uncached paths, so read the
+    # actual JVM max heap as the authoritative source and use the conf
+    # only when the JVM probe is unavailable.
+    heap = None
+    try:
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:
+        pass
+    if not heap or heap <= 0:
+        heap = _heap_bytes(spark.conf.get("spark.driver.memory", "1g"))
     frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
     return (heap - 300 * 2**20) * frac
 
@@ -309,12 +328,23 @@ def _should_cache_pages(spark: SparkSession, fix_dir: str) -> bool:
     """
     forced = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
     if forced in ("0", "1"):
-        return forced == "1"
-    parquet_bytes = _pages_parquet_bytes(fix_dir)
-    if parquet_bytes is None:
-        return True  # unknown layout (Iceberg catalog): keep the cache
-    pool = _unified_pool_bytes(spark)
-    return parquet_bytes * _CACHE_DECODE_RATIO <= _POOL_SHARE * pool
+        cache = forced == "1"
+    else:
+        parquet_bytes = _pages_parquet_bytes(fix_dir)
+        if parquet_bytes is None:
+            return True  # unknown layout (Iceberg catalog): keep the cache
+        pool = _unified_pool_bytes(spark)
+        cache = parquet_bytes * _CACHE_DECODE_RATIO <= _POOL_SHARE * pool
+    if not cache:
+        # The uncached path's skew-free claim depends on fine-grained
+        # scan splits (city-clustered parquet + the 128 MB default =
+        # coarse splits and a ~25% parse-stage straggler).  The conf is
+        # runtime-settable, so enforce it here rather than assuming
+        # get_spark built the session.
+        cur = spark.conf.get("spark.sql.files.maxPartitionBytes", "")
+        if not cur or _heap_bytes(cur) > 16 * 2**20:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 2**20))
+    return cache
 
 
 def _should_spill_items(spark: SparkSession, fix_dir: str) -> bool:
@@ -566,10 +596,14 @@ class CrawlEngine:
 
     def _unpersist_later(self, df):
         """Queue a superseded localCheckpoint snapshot for release.  The
-        python reference is dropped at the end of the NEXT wave (nothing in
-        flight can still read it), letting the ContextCleaner reclaim its
-        block-manager entries — without this, every wave's batch/passed/
-        frontier snapshots accumulate for the whole run."""
+        python reference is dropped by ``_flush_trash()`` at the end of the
+        SAME wave that queued it — after every job of the wave has run, so
+        nothing in flight can still read it.  All consumers of a queued ref
+        (notably the spilled item write that consumes ``passed``) MUST be
+        synchronous jobs issued before the wave's flush; a reorder that
+        defers one past ``_flush_trash()`` would read a released block.
+        Without this release, every wave's batch/passed/frontier snapshots
+        accumulate in the block manager for the whole run."""
         self._trash.append(df)
 
     def _flush_trash(self):
