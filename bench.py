@@ -140,16 +140,30 @@ def main():
     timings["crawl"] = round(crawl_sec, 3)
     urls_per_sec = summary["fetched"] / crawl_sec if crawl_sec else 0.0
 
-    # --- analytics operator timings
+    # --- analytics operator timings: per-query best-of-repeats.  A
+    # single sample makes sub-second queries read as regressions across
+    # rounds when the host jitters (r3's lone "regression",
+    # lang_freshness 0.53->0.78s, was exactly this).  Every query runs
+    # at least twice; sub-5s queries (where scheduler/GC noise is the
+    # same order as the work) get a third run.  Reported time is the
+    # min — the same policy as the crawl row and bench_scaling.
+    q_repeat_cap = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3")))
     qs = E.queries()
+    query_repeats = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
+        walls = []
         try:
-            df = qs[name](spark, SF_DIR)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
+            for i in range(q_repeat_cap):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).count()
+                walls.append(round(time.time() - t0, 3))
+                if i == 1 and walls[0] >= 5.0:
+                    break  # expensive query: 2 samples bound the cost
+            timings[name] = min(walls)
+            query_repeats[name] = walls
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
+            query_repeats[name] = walls
             print(f"# {name} failed: {e}", file=sys.stderr)
 
     out = {
@@ -168,6 +182,7 @@ def main():
             "repeat_walls_sec": [round(w, 2) for w in crawl_walls],
             "cpus": int(CPUS),
         },
+        "query_repeats": query_repeats,
     }
     print(json.dumps(out))
 
