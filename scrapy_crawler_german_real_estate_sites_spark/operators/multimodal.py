@@ -2,15 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` UDFs.
 
-The container has no image codec libraries, so the decoder is a pure-python
-header parser for the two formats that need none: **BMP** (fixed-offset
-little-endian DIB header) and **PPM/PGM** (ASCII header).  The synthetic
-fixture plants real images of both kinds (sources/synth.py
-``_write_images``), so (width, height, channels) is REAL extraction for
-them; other binary payloads (JPEG/PNG would need zlib/huffman codecs) fall
-back to a deterministic md5-derived fake so the plumbing stays total, or
-raise with ``deterministic_fake=False``.  Swapping in PIL/opencv at
-deployment is a one-function change (``decode_image``).
+The container has no image codec libraries, so decoding is pure python:
+**BMP** (fixed-offset little-endian DIB header), **PPM/PGM** (ASCII
+header), and **PNG** — a real IHDR+IDAT decoder (zlib is stdlib; all five
+scanline filters, palette expansion, non-interlaced) plus a filter-0
+encoder, so width/height/pixels are REAL for the dominant web format.
+The synthetic fixture plants real images of all three families
+(sources/synth.py ``_write_images``), verified against recorded ground
+truth.  Only payloads needing huffman/DCT codecs (JPEG) fall back to a
+deterministic md5-derived fake so the plumbing stays total, or raise with
+``deterministic_fake=False``.  Swapping in PIL/opencv at deployment is a
+one-function change (``decode_image``).
 """
 
 from __future__ import annotations
@@ -68,10 +70,153 @@ def _decode_pnm(raw: bytes) -> Optional[Tuple[int, int, int]]:
     return tokens[0], tokens[1], channels
 
 
+# ---------------------------------------------------------------------------
+# PNG — real pure-python decode (zlib is stdlib; PNG's only entropy codec
+# is DEFLATE).  Spec: ISO/IEC 15948 / RFC 2083.  Supported: bit depth 8,
+# color types 0 (gray) / 2 (rgb) / 3 (palette) / 4 (gray+alpha) / 6 (rgba),
+# all five scanline filters, non-interlaced only (Adam7 → None).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels in the filtered stream / in the decoded output
+_PNG_STREAM_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_OUT_CH = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+
+
+def _png_ihdr(raw: bytes) -> Optional[Tuple[int, int, int]]:
+    """(width, height, channels) from the IHDR chunk — REAL header
+    extraction, no inflate.  None unless 8-bit, non-interlaced, and a
+    color type we fully decode (so the dims claim is backed by a working
+    pixel path)."""
+    if len(raw) < 33 or raw[:8] != _PNG_SIG or raw[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(raw[16:20], "big")
+    h = int.from_bytes(raw[20:24], "big")
+    depth, ctype, comp, filt, interlace = raw[24:29]
+    out_ch = _PNG_OUT_CH.get(ctype)
+    if (out_ch is None or depth != 8 or comp or filt or interlace
+            or w <= 0 or h <= 0):
+        return None
+    return w, h, out_ch
+
+
+def decode_png(raw: bytes):
+    """Full PNG decode → numpy (height, width, channels) uint8 array, or
+    None for anything _png_ihdr rejects / malformed streams.  Pure python
+    + numpy: chunk walk, IDAT concat, zlib inflate, per-scanline
+    de-filter (None/Sub/Up/Average/Paeth), palette expansion."""
+    import zlib
+
+    import numpy as np
+
+    hdr = _png_ihdr(raw)
+    if hdr is None:
+        return None
+    w, h, _ = hdr
+    ctype = raw[25]
+    stream_ch = _PNG_STREAM_CH[ctype]
+    # chunk walk: 4-byte len, 4-byte type, data, 4-byte crc
+    idat, plte, pos, n = [], None, 8, len(raw)
+    while pos + 8 <= n:
+        clen = int.from_bytes(raw[pos : pos + 4], "big")
+        ctyp = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None
+        if ctyp == b"IDAT":
+            idat.append(data)
+        elif ctyp == b"PLTE":
+            plte = data
+        elif ctyp == b"IEND":
+            break
+        pos += 12 + clen
+    if not idat or (ctype == 3 and (plte is None or len(plte) % 3)):
+        return None
+    try:
+        flat = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * stream_ch
+    if len(flat) != h * (1 + stride):
+        return None
+    bpp = stream_ch  # bytes per pixel (depth 8)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    pos = 0
+    for y in range(h):
+        ftype = flat[pos]
+        line = np.frombuffer(flat, np.uint8, stride, pos + 1).astype(np.uint16)
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — sequential along the row
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            return None
+        out[y] = line.astype(np.uint8)
+        prev = line
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            return None
+        return pal[idx]
+    return out.reshape(h, w, stream_ch)
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG writer: filter 0 on every scanline, one IDAT.  Accepts
+    (h, w) gray or (h, w, {1,2,3,4}) uint8 arrays.  Canonical output for
+    fixtures and the PNG resize path — decode_png(encode_png(a)) == a."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            len(data).to_bytes(4, "big") + body
+            + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    flat = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(flat)) + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(raw: bytes) -> Optional[Tuple[int, int, int]]:
-    """Real (width, height, channels) for BMP / PPM / PGM bytes; None for
-    anything else (formats needing entropy codecs absent in the container)."""
-    return _decode_bmp(raw) or _decode_pnm(raw)
+    """Real (width, height, channels) for BMP / PNG / PPM / PGM bytes;
+    None for anything else (JPEG's arithmetic/huffman codecs are the one
+    family left without a pure-python path)."""
+    return _decode_bmp(raw) or _png_ihdr(raw) or _decode_pnm(raw)
 
 
 def fake_dims(raw: bytes) -> Tuple[int, int, int]:
@@ -92,7 +237,7 @@ def decode_image_stub(raw: bytes, deterministic_fake: bool):
         return real
     if not deterministic_fake:
         raise ValueError(
-            "undecodable image payload (only BMP/PPM/PGM decode without "
+            "undecodable image payload (BMP/PNG/PPM/PGM decode without "
             "codec libraries; pass deterministic_fake=True for a total path)"
         )
     return fake_dims(raw)
@@ -194,14 +339,35 @@ def resize_pnm(raw: bytes, out_w: int, out_h: int) -> Optional[bytes]:
     return magic + f"\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
 
 
+def resize_png(raw: bytes, out_w: int, out_h: int) -> Optional[bytes]:
+    """REAL nearest-neighbor resize for PNG payloads: full decode →
+    index-select → re-encode (filter 0).  None for non-PNG bytes."""
+    import numpy as np
+
+    px = decode_png(raw)
+    if px is None:
+        return None
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return encode_png(px[ys][:, xs])
+
+
+def resize_any(raw: bytes, out_w: int, out_h: int) -> Optional[bytes]:
+    """Dispatch resize across the decodable families (binary PNM, PNG)."""
+    if raw[:8] == _PNG_SIG:
+        return resize_png(raw, out_w, out_h)
+    return resize_pnm(raw, out_w, out_h)
+
+
 def resize_images(
     df: DataFrame, out_w: int, out_h: int, url_col="url", bin_col="image"
 ) -> DataFrame:
     """Binary image column → resized binary image column.  Decodable
-    payloads (binary PNM) get a REAL nearest-neighbor resize; everything
-    else passes through unchanged with ``resized = false`` (total, like
-    the decode path).  Row-local Arrow batches: no shuffle, partitioning
-    inherited from the input scan."""
+    payloads (binary PNM, PNG) get a REAL nearest-neighbor resize;
+    everything else passes through unchanged with ``resized = false``
+    (total, like the decode path).  Row-local Arrow batches: no shuffle,
+    partitioning inherited from the input scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,7 +375,7 @@ def resize_images(
                    "image": []}
             for url, raw in zip(pdf[url_col], pdf[bin_col]):
                 raw = bytes(raw)
-                resized = resize_pnm(raw, out_w, out_h)
+                resized = resize_any(raw, out_w, out_h)
                 out["url"].append(url)
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)

@@ -1684,14 +1684,37 @@ def ppm_bytes(width: int, height: int, rng) -> bytes:
     )
 
 
+def png_bytes(width: int, height: int, rng, channels: int = 3) -> bytes:
+    """A real PNG (8-bit gray/rgb/rgba, filter 0, one zlib IDAT) via the
+    engine's own encoder — decodable by any PNG reader."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_png
+
+    arr = np.array(
+        [rng.randrange(256) for _ in range(width * height * channels)],
+        dtype=np.uint8,
+    ).reshape(height, width, channels)
+    return encode_png(arr)
+
+
+_IMAGES_V = 2  # bump to regenerate images.parquet without touching the tier
+
+
 def _write_images(fix_dir: str) -> None:
-    """Plant REAL decodable images (BMP + PPM) plus opaque non-image
+    """Plant REAL decodable images (BMP + PPM + PNG) plus opaque non-image
     payloads in the fixture, with the true dims recorded alongside, so the
     multimodal decode path is verified against ground truth
     (tests/test_multimodal.py)."""
     path = os.path.join(fix_dir, "images.parquet")
+    vpath = os.path.join(fix_dir, "_images.v")
     if os.path.exists(path):
-        return
+        try:
+            with open(vpath) as f:
+                if f.read().strip() == str(_IMAGES_V):
+                    return
+        except OSError:
+            pass  # no version marker: pre-v2 file, regenerate
     rng = random.Random(SEED + 31)
     urls, blobs, kinds, ws, hs, cs = [], [], [], [], [], []
 
@@ -1709,6 +1732,9 @@ def _write_images(fix_dir: str) -> None:
     for i in range(8):
         w, h = rng.randrange(5, 200), rng.randrange(5, 200)
         add("ppm", ppm_bytes(w, h, rng), w, h, 3)
+    for i, ch in enumerate((1, 3, 4, 1, 3, 4, 3, 3)):
+        w, h = rng.randrange(5, 200), rng.randrange(5, 200)
+        add("png", png_bytes(w, h, rng, channels=ch), w, h, ch)
     for i in range(8):
         # opaque payloads (no decodable header) — the md5-fake path
         add("opaque", bytes(rng.randrange(256) for _ in range(rng.randrange(64, 512))),
@@ -1726,6 +1752,8 @@ def _write_images(fix_dir: str) -> None:
         ),
         path,
     )
+    with open(vpath, "w") as f:
+        f.write(str(_IMAGES_V))
 
 
 def _write_expected(fix_dir: str) -> None:
