@@ -15,11 +15,11 @@ Scale design (the 100 TB question):
   plans one task per file; a Common-Crawl snapshot is ~72 000 segment
   files of ~1 GB — ample fan-out for a 1000-executor cluster with zero
   shuffle: ingest is a pure map (scan → parse → project), so the job's
-  only exchange is whatever the *writer* side needs.  Per-record gzip
-  members (the CC convention, reproduced by :func:`write_warc`) mean a
-  future split-by-offset reader is possible, but per-file tasks are the
-  proven CC-processing topology (every public CC pipeline —
-  cc-pysparker, Nutch, DataTrove — reads segment-per-task).
+  only exchange is whatever the *writer* side needs.  Per-file tasks are
+  the proven CC-processing topology; for pathological oversized
+  segments, :func:`warc_scan_ranges` splits ONE file across tasks at the
+  per-record gzip member boundaries (the CC convention, reproduced by
+  :func:`write_warc` together with a cdx-style ``.idx`` offset sidecar).
 * **Bytes cross the Arrow boundary once.**  Record framing + HTTP
   de-enveloping need imperative byte handling, so they run in ONE
   Arrow-batched ``mapInPandas`` (the same budget as the parse stage);
@@ -109,20 +109,32 @@ def warcinfo_bytes(ts: datetime.datetime, info: str) -> bytes:
 
 
 def write_warc(path: str, records: list[tuple], gzip_members: bool = True,
-               info: str = "software: spark-crawl-engine\r\n") -> None:
+               info: str = "software: spark-crawl-engine\r\n",
+               index: bool = True) -> None:
     """Write ``records = [(url, ts, html_bytes), ...]`` as one WARC file.
 
     ``gzip_members=True`` reproduces the Common-Crawl convention: every
     record is its own gzip member and the members are concatenated (the
     file as a whole is a valid multi-member gzip stream).  ``mtime=0`` and
-    no filename header keep the bytes deterministic."""
+    no filename header keep the bytes deterministic.
+
+    ``index=True`` (member-gzip only) also writes ``<path>.idx`` — one
+    ``offset length`` line per member, the same information Common Crawl
+    publishes as its cdx index — which lets :func:`warc_scan_ranges`
+    split ONE oversized segment across many tasks at member boundaries."""
     first = warcinfo_bytes(records[0][1] if records else
                            datetime.datetime(2021, 1, 1), info)
     chunks = [first] + [record_bytes(u, t, h) for (u, t, h) in records]
     with open(path, "wb") as f:
         if gzip_members:
+            offsets = []
             for c in chunks:
-                f.write(gzip.compress(c, 9, mtime=0))
+                z = gzip.compress(c, 9, mtime=0)
+                offsets.append((f.tell(), len(z)))
+                f.write(z)
+            if index:
+                with open(path + ".idx", "w") as ix:
+                    ix.writelines(f"{o} {l}\n" for o, l in offsets)
         else:
             for c in chunks:
                 f.write(c)
@@ -252,6 +264,126 @@ def warc_scan(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return bf.select("path", "content").mapInPandas(run, _SCAN_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# offset-split reader — fan ONE oversized segment across many tasks
+# --------------------------------------------------------------------------
+
+
+def build_member_index(path: str) -> list[tuple[int, int]]:
+    """(offset, length) of every gzip member in a member-gzip WARC file.
+
+    One sequential decompress pass (boundaries come from
+    ``decompressobj.unused_data``, the only reliable detector — magic-byte
+    scans false-positive inside compressed data).  This is the one-time
+    indexing job a pipeline runs per segment when the archive ships
+    without a cdx; CC itself publishes offsets, and :func:`write_warc`
+    emits them as ``<path>.idx``."""
+    offsets = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, n = 0, len(data)
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            d.decompress(data[pos:])
+            d.flush()
+        except zlib.error:
+            break
+        end = n - len(d.unused_data)
+        offsets.append((pos, end - pos))
+        if not d.unused_data:
+            break
+        pos = end
+    return offsets
+
+
+def _load_index(path: str) -> list[tuple[int, int]]:
+    idx_path = path + ".idx"
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            return [
+                (int(o), int(ln))
+                for o, ln in (line.split() for line in f if line.strip())
+            ]
+    return build_member_index(path)
+
+
+def plan_ranges(files: list[str], target_bytes: int) -> list[tuple]:
+    """Pack each file's member index into ``(path, start, length)`` splits
+    of ~``target_bytes`` of COMPRESSED bytes, each aligned to member
+    boundaries.  Records never span members (one record = one member, the
+    CC convention), so every split unframes independently."""
+    ranges = []
+    for path in files:
+        members = _load_index(path)
+        if not members:
+            continue
+        start, acc = members[0][0], 0
+        for off, ln in members:
+            if acc and acc + ln > target_bytes:
+                ranges.append((path, start, off - start))
+                start, acc = off, 0
+            acc += ln
+        end = members[-1][0] + members[-1][1]
+        ranges.append((path, start, end - start))
+    return ranges
+
+
+def warc_scan_ranges(spark: SparkSession, path: str,
+                     target_bytes: int = 64 * 2**20) -> DataFrame:
+    """Offset-split WARC ingest: same output contract as :func:`warc_scan`,
+    but the parallelism unit is a member-aligned BYTE RANGE instead of a
+    whole file — so one pathological >1 GB segment no longer straggles as
+    a single task.
+
+    Shape: the driver reads only the tiny ``.idx`` sidecars (or indexes
+    index-less files once via :func:`build_member_index`), packs members
+    into ~``target_bytes`` splits, and parallelizes the split list; each
+    task seeks into its file, reads exactly its compressed slice, and
+    unframes it in the same Arrow pass as the per-file reader.  This is
+    the binaryFile topology with the file→split substitution a real
+    cluster does via FileSplit; executors read ranges through whatever
+    storage client serves the path (local fs here, HDFS/S3 in
+    deployment).  Zero shuffle; output partitioning = splits."""
+    files = (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".warc.gz")
+        )
+        if os.path.isdir(path) else [path]
+    )
+    ranges = plan_ranges(files, target_bytes)
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, length long"
+    ).repartition(max(len(ranges), 1))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "warc_file", "url", "warc_date", "http_status",
+                "content_type", "html")}
+            for fpath, start, length in zip(
+                    pdf["path"], pdf["start"], pdf["length"]):
+                with open(fpath, "rb") as f:
+                    f.seek(int(start))
+                    blob = f.read(int(length))
+                fname = os.path.basename(fpath)
+                for rec in iter_warc_records(blob):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    status, hh, body = parse_http_response(rec["payload"])
+                    out["warc_file"].append(fname)
+                    out["url"].append(h.get("warc-target-uri", ""))
+                    out["warc_date"].append(h.get("warc-date", ""))
+                    out["http_status"].append(status)
+                    out["content_type"].append(hh.get("content-type", ""))
+                    out["html"].append(body)
+            yield pd.DataFrame(out)
+
+    return rdf.mapInPandas(run, _SCAN_SCHEMA)
 
 
 # --------------------------------------------------------------------------

@@ -129,3 +129,118 @@ def test_fixture_idempotent(fix_tiny):
     files = sorted(os.listdir(a))
     b = warc_fixture(fix_tiny)
     assert a == b and sorted(os.listdir(b)) == files
+
+
+# ---------------------------------------------------------------------------
+# offset-split reader (warc_scan_ranges)
+# ---------------------------------------------------------------------------
+
+
+def _many_recs(n):
+    return [
+        (f"http://seg.example/{i:04d}", TS + datetime.timedelta(seconds=i),
+         f"<html><body>doc {i} körper</body></html>".encode())
+        for i in range(n)
+    ]
+
+
+def test_writer_idx_matches_member_boundaries(tmp_path):
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        build_member_index,
+    )
+
+    p = str(tmp_path / "seg.warc.gz")
+    write_warc(p, _many_recs(20))
+    with open(p + ".idx") as f:
+        idx = [tuple(map(int, ln.split())) for ln in f]
+    assert idx == build_member_index(p)  # sidecar == ground truth
+    assert len(idx) == 21  # warcinfo + 20 responses
+    assert idx[0][0] == 0
+    # contiguous cover of the whole file
+    assert all(idx[i][0] + idx[i][1] == idx[i + 1][0] for i in range(20))
+    assert idx[-1][0] + idx[-1][1] == os.path.getsize(p)
+
+
+def test_plan_ranges_member_aligned(tmp_path):
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        _load_index,
+        plan_ranges,
+    )
+
+    p = str(tmp_path / "seg.warc.gz")
+    write_warc(p, _many_recs(30))
+    idx = _load_index(p)
+    starts = {o for o, _ in idx}
+    total = idx[-1][0] + idx[-1][1]
+    tiny = max(ln for _, ln in idx) * 3
+    ranges = plan_ranges([p], target_bytes=tiny)
+    assert len(ranges) >= 2  # actually split
+    # every split starts on a member boundary and they tile the file
+    pos = 0
+    for path, start, length in ranges:
+        assert path == p and start == pos and start in starts
+        pos = start + length
+    assert pos == total
+
+
+def test_one_segment_two_tasks_identical_output(spark, tmp_path):
+    """VERDICT r3 item 7: ONE oversized segment read with >=2 tasks via
+    member-boundary splits produces output identical to the per-file
+    reader."""
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        plan_ranges,
+        warc_scan_ranges,
+    )
+
+    p = str(tmp_path / "big.warc.gz")
+    write_warc(p, _many_recs(120))
+    whole = sorted(
+        (r.url, r.warc_date, r.http_status, bytes(r.html))
+        for r in warc_scan(spark, p).collect()
+    )
+    # target chosen so the segment splits into >=2 ranges
+    target = os.path.getsize(p) // 3
+    assert len(plan_ranges([p], target)) >= 2
+    split_df = warc_scan_ranges(spark, p, target_bytes=target)
+    assert split_df.rdd.getNumPartitions() >= 2  # really >=2 tasks
+    split = sorted(
+        (r.url, r.warc_date, r.http_status, bytes(r.html))
+        for r in split_df.collect()
+    )
+    assert split == whole
+    assert len(split) == 120
+
+
+def test_scan_ranges_without_idx_uses_built_index(spark, tmp_path):
+    """Index-less segments (no .idx sidecar) still split correctly via
+    the one-time sequential member indexing."""
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        warc_scan_ranges,
+    )
+
+    p = str(tmp_path / "noidx.warc.gz")
+    write_warc(p, _many_recs(40), index=False)
+    assert not os.path.exists(p + ".idx")
+    got = sorted(
+        r.url for r in
+        warc_scan_ranges(spark, p, target_bytes=4096).collect()
+    )
+    assert got == sorted(f"http://seg.example/{i:04d}" for i in range(40))
+
+
+def test_scan_ranges_dir_matches_scan(spark, fix_tiny):
+    """Directory mode: the range reader over the fixture's segment dir
+    equals the per-file reader row-for-row."""
+    from scrapy_crawler_german_real_estate_sites_spark.sources.warc import (
+        warc_scan_ranges,
+    )
+
+    wdir = warc_fixture(fix_tiny, records_per_file=200)
+    a = sorted(
+        (r.url, bytes(r.html)) for r in warc_scan(spark, wdir).collect()
+    )
+    b = sorted(
+        (r.url, bytes(r.html))
+        for r in warc_scan_ranges(spark, wdir, target_bytes=32768).collect()
+    )
+    assert a == b and len(a) > 0
