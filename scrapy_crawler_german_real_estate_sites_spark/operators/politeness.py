@@ -68,6 +68,7 @@ def tag_batch(
     default_concurrent: int = 1,
     token_scale: float = 1.0,
     delays: DataFrame | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fused form of :func:`select_batch`: returns the pending set (minus
     stopped seeds) with a boolean ``sel`` column marking the wave batch,
@@ -88,7 +89,12 @@ def tag_batch(
     p = pending.join(F.broadcast(state), "seed_id").where(~F.col("stopped"))
     elig = F.col("not_before") <= F.lit(iter_no)
 
-    w = Window.partitionBy("seed_id").orderBy("fifo_seq")
+    # ``order_cols`` (default FIFO) is the drain discipline: the budget /
+    # listing prefixes and the token bucket all rank by it.  The engine
+    # passes ["_prio", "fifo_seq"] in priority mode (P11+PageRank wiring,
+    # plans/crawl.py) — fifo_seq stays as the deterministic tie-break.
+    order = order_cols or ["fifo_seq"]
+    w = Window.partitionBy("seed_id").orderBy(*order)
     w_excl = w.rowsBetween(Window.unboundedPreceding, -1)
     is_det = (F.col("kind").isin("detail", "detail2") & elig).cast("int")
     is_listing = ((F.col("kind") == "listing") & elig).cast("int")
@@ -135,7 +141,7 @@ def tag_batch(
             * F.coalesce(F.col("max_concurrent"), F.lit(default_concurrent))
             * F.lit(token_scale)
         ).cast("long")
-        wn = Window.partitionBy("netloc").orderBy("fifo_seq", "seed_id")
+        wn = Window.partitionBy("netloc").orderBy(*order, "seed_id")
         cum_sel = F.sum(F.col("presel").cast("long")).over(
             wn.rowsBetween(Window.unboundedPreceding, 0)
         )

@@ -397,6 +397,15 @@ class CrawlEngine:
         #   every fetched/dup row to the driver per wave — O(fetched rows)
         #   driver memory, for the parity/resume test suites only.  Default
         #   OFF so production paths never collect per-row state.
+        priority_ranks=None,  # optional (url, rank_mass) DataFrame — e.g.
+        #   operators/graph.py:link_pagerank output — that re-prioritizes
+        #   the frontier drain: priority = depth + kind_weight −
+        #   normalized rank boost, lower drains first (token-bucketed
+        #   waves fetch high-rank URLs in earlier waves; budget prefixes
+        #   count in priority order).  OFF by default: the parity suites'
+        #   FIFO discipline (ordering contract A6) is byte-preserved
+        #   unless a rank table is explicitly supplied.
+        priority_weight: float = 1.0,
         autothrottle: bool = False,  # P3: latency-feedback delay control
         #   (reference settings.py:95-104).  Off by default so the parity
         #   suites see the reference's effective schedule unchanged; when
@@ -421,6 +430,21 @@ class CrawlEngine:
         self.epoch = int(epoch)
         self.autothrottle = autothrottle
         self.at_delays: dict = {}  # netloc -> folded AutoThrottle delay
+        # PageRank-fed frontier priority (opt-in).  Normalize once at
+        # construction (one O(1) scalar agg) so the per-wave join ships a
+        # bounded [0, priority_weight] boost; the rank table is broadcast
+        # (O(ranked urls), a top-N slice at cluster scale).
+        self._rank_df = None
+        if priority_ranks is not None:
+            m = priority_ranks.agg(
+                F.max(F.col("rank_mass").cast("double"))
+            ).first()[0]
+            if m and m > 0:
+                self._rank_df = priority_ranks.select(
+                    "url",
+                    (F.col("rank_mass").cast("double") / F.lit(float(m))
+                     * F.lit(float(priority_weight))).alias("_rank_boost"),
+                )
 
         from ..sources import tables
 
@@ -573,11 +597,33 @@ class CrawlEngine:
                 sorted((k, float(v)) for k, v in self.at_delays.items()),
                 "netloc string, delay_s double",
             )
-        return politeness.tag_batch(
+        order_cols = None
+        if self._rank_df is not None:
+            # priority = depth + kind_weight − rank boost: shallower rows
+            # and structural pages keep a head start, high-rank URLs jump
+            # the queue within it; fifo_seq stays as the deterministic
+            # tie-break so equal-priority drain matches FIFO.
+            kind_w = (
+                F.when(F.col("kind") == "start", F.lit(0.0))
+                .when(F.col("kind") == "listing", F.lit(0.25))
+                .otherwise(F.lit(0.5))
+            )
+            pending_df = pending_df.join(
+                F.broadcast(self._rank_df), "url", "left"
+            ).withColumn(
+                "_prio",
+                F.col("depth").cast("double") + kind_w
+                - F.coalesce(F.col("_rank_boost"), F.lit(0.0)),
+            )
+            order_cols = ["_prio", "fifo_seq"]
+        tagged = politeness.tag_batch(
             pending_df, self._state_df(), self.robots, iter_no,
             iter_seconds=self.iter_seconds, token_scale=self.token_scale,
-            delays=delays,
+            delays=delays, order_cols=order_cols,
         )
+        if self._rank_df is not None:
+            tagged = tagged.drop("_prio", "_rank_boost")
+        return tagged
 
     @property
     def pending(self) -> DataFrame:
