@@ -1684,6 +1684,72 @@ def ppm_bytes(width: int, height: int, rng) -> bytes:
     )
 
 
+def clustered_embedding_rows(
+    n: int = 3000, dim: int = 32, n_clusters: int = 48,
+    zipf_a: float = 1.3, noise: float = 0.18, seed: int = None,
+):
+    """Deterministic Zipf-clustered embeddings — the realistic ANN regime.
+
+    Real embedding corpora are clustered with heavy-tailed cluster sizes
+    (near-duplicate families, template pages, topic lumps) — near-random
+    vectors are PQ/IVF's documented WORST case, so recall measured there
+    transfers only directionally.  This generator plants ``n_clusters``
+    Gaussian anchors with cluster sizes ∝ 1/rank^zipf_a and members =
+    anchor + noise·N(0,1): nearest neighbors are overwhelmingly
+    within-cluster, like production embeddings.
+
+    Returns ``[(vec_id, cluster_id, [floats…]), …]``; cluster_id is kept
+    as ground truth for recall analysis.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(SEED + 77 if seed is None else seed)
+    weights = 1.0 / np.arange(1, n_clusters + 1) ** zipf_a
+    sizes = np.maximum(1, np.round(weights / weights.sum() * n)).astype(int)
+    anchors = rng.randn(n_clusters, dim) * 4.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(int(sizes[c])):
+            v = anchors[c] + noise * rng.randn(dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+_CLUSTERED_EMB_V = 1
+
+
+def _write_clustered_embeddings(fix_dir: str) -> str:
+    """Materialize the Zipf-clustered embedding table in the fixture
+    (idempotent, versioned like images.parquet)."""
+    path = os.path.join(fix_dir, "embeddings_clustered.parquet")
+    vpath = os.path.join(fix_dir, "_embeddings_clustered.v")
+    if os.path.exists(path):
+        try:
+            with open(vpath) as f:
+                if f.read().strip() == str(_CLUSTERED_EMB_V):
+                    return path
+        except OSError:
+            pass
+    rows = clustered_embedding_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "cluster_id": pa.array([r[1] for r in rows], pa.int32()),
+                "embedding": pa.array(
+                    [r[2] for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        path,
+    )
+    with open(vpath, "w") as f:
+        f.write(str(_CLUSTERED_EMB_V))
+    return path
+
+
 def png_bytes(width: int, height: int, rng, channels: int = 3) -> bytes:
     """A real PNG (8-bit gray/rgb/rgba, filter 0, one zlib IDAT) via the
     engine's own encoder — decodable by any PNG reader."""

@@ -258,3 +258,96 @@ def test_ivfadc_recall_on_planted_groups(spark):
         hits += len(members & group)
         total += 5
     assert total and hits / total >= 0.9, hits / total
+
+
+# ---------------------------------------------------------------------------
+# recall on the Zipf-clustered fixture (VERDICT r3 item 5): real embedding
+# corpora are clustered with heavy-tailed cluster sizes; near-random vectors
+# are PQ/IVF's documented worst case.  Numbers recorded in COVERAGE.md.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark, fix_tiny):
+    from scrapy_crawler_german_real_estate_sites_spark.sources.synth import (
+        _write_clustered_embeddings,
+    )
+
+    path = _write_clustered_embeddings(fix_tiny)
+    return spark.read.parquet(path)
+
+
+def _clustered_recall(spark, emb_full, search):
+    emb = emb_full.select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {(r.q_id, r.vec_id) for r in search(emb, q).collect()}
+    return len(got & exact) / len(exact)
+
+
+def test_fixture_cluster_sizes_are_zipf(clustered_emb):
+    sizes = sorted(
+        (r["cnt"] for r in
+         clustered_emb.groupBy("cluster_id").count()
+         .withColumnRenamed("count", "cnt").collect()),
+        reverse=True,
+    )
+    assert len(sizes) == 48
+    # heavy tail: biggest cluster dominates, smallest are singletons
+    assert sizes[0] > 20 * sizes[-1]
+    assert sizes[0] > 0.15 * sum(sizes)
+
+
+def test_ivf_recall_on_clustered_fixture(spark, clustered_emb):
+    r = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: ivf_topk(emb, q, k=5, ncentroids=32, nprobe=4),
+    )
+    # measured 0.903 (31 queries spanning head + tail clusters)
+    assert r >= 0.85, f"IVF clustered recall@5 = {r}"
+
+
+def test_pq_rerank_recall_on_clustered_fixture(spark, clustered_emb):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    with_rr = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: pq_topk(emb, q, k=5, m=8, ksub=64, subdim=4,
+                               rerank=200),
+    )
+    no_rr = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: pq_topk(emb, q, k=5, m=8, ksub=64, subdim=4),
+    )
+    # measured 0.794 vs 0.232: within a tight cluster the members quantize
+    # to near-identical codes, so ADC alone cannot rank them — the exact
+    # re-rank is what buys recall on clustered data.  Pin both the
+    # operating point and the mechanism.
+    assert with_rr >= 0.70, f"PQ+rerank clustered recall@5 = {with_rr}"
+    assert with_rr >= 2 * no_rr, (with_rr, no_rr)
+
+
+def test_ivfadc_recall_on_clustered_fixture(spark, clustered_emb):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
+        ivfadc_topk,
+    )
+
+    small = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: ivfadc_topk(emb, q, k=5, ncentroids=32, nprobe=6,
+                                   m=8, ksub=64, subdim=4, rerank=60),
+    )
+    big = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: ivfadc_topk(emb, q, k=5, ncentroids=32, nprobe=8,
+                                   m=8, ksub=64, subdim=4, rerank=200),
+    )
+    # measured 0.574 (rerank=60) -> 0.755 (rerank=200): recall scales with
+    # the rerank pool vs the head cluster's size (~800 members) — the
+    # documented head-cluster/ADC-tie tradeoff on Zipf data
+    assert big >= 0.70, f"IVFADC clustered recall@5 = {big}"
+    assert big > small, (big, small)
