@@ -1917,6 +1917,54 @@ WHERE len(stadtviertel) >= 10
 """
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingest (operators/sitemaps.py): the tier's per-host
+    sitemap/sitemap-index documents (fixture ``sitemaps.parquet``,
+    derived from the tier's real page URLs by sources/synth.py
+    ``_write_discovery``) exploded to frontier candidate rows.  The
+    DuckDB oracle replays the block/field extraction with RE2 regexes —
+    the fixture XML is single-line, so the Python side's (?s) flag and
+    RE2's default dot agree by construction."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.sitemaps import (
+        sitemap_urls,
+    )
+
+    docs = _fx(spark, sf_dir, "sitemaps")
+    return sitemap_urls(docs, src_col="url", xml_col="xml")
+
+
+def _sql_sitemap_ingest() -> str:
+    loc = (r"<loc[^>]*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</loc>")
+    # mirror operators/sitemaps._ENTITIES order (amp last)
+    unesc = "x"
+    for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "''"), ("&apos;", "''"), ("&amp;", "&")]:
+        unesc = f"replace({unesc}, '{ent}', '{rep}')"
+    return f"""
+WITH docs AS (
+  SELECT url AS src, xml FROM read_parquet('{_fp("sitemaps")}')
+), blocks AS (
+  SELECT src, unnest(regexp_extract_all(xml, '<url\\b[^>]*>(.*?)</url>', 1)) AS b,
+         false AS is_index
+  FROM docs
+  UNION ALL
+  SELECT src, unnest(regexp_extract_all(xml, '<sitemap\\b[^>]*>(.*?)</sitemap>', 1)) AS b,
+         true AS is_index
+  FROM docs
+), fields AS (
+  SELECT src, is_index,
+         regexp_extract(b, '{loc}', 1) AS rawloc,
+         nullif(regexp_extract(b, '<lastmod[^>]*>\\s*(?:<!\\[CDATA\\[)?(.*?)(?:\\]\\]>)?\\s*</lastmod>', 1), '') AS lastmod,
+         nullif(regexp_extract(b, '<changefreq[^>]*>\\s*(?:<!\\[CDATA\\[)?(.*?)(?:\\]\\]>)?\\s*</changefreq>', 1), '') AS changefreq,
+         try_cast(nullif(regexp_extract(b, '<priority[^>]*>\\s*(?:<!\\[CDATA\\[)?(.*?)(?:\\]\\]>)?\\s*</priority>', 1), '') AS DOUBLE) AS priority
+  FROM blocks
+)
+SELECT src, {unesc.replace('x', 'rawloc')} AS url, lastmod, changefreq,
+       priority, is_index
+FROM fields WHERE rawloc <> ''
+"""
+
+
 _TINY_CRAWL = {}
 
 
@@ -2662,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_ann_pq": q_embedding_ann_pq,
+        "sitemap_ingest": q_sitemap_ingest,
     }
 
 
@@ -2754,4 +2803,5 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": SQL_SUBSTRING_DEDUP,
         "corpus_clean": _sql_corpus_clean(),
         "sitemap_cities": SQL_SITEMAP,
+        "sitemap_ingest": _sql_sitemap_ingest(),
     }

@@ -1529,6 +1529,7 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
                 if tier == "tiny":
                     _write_expected(out_dir)  # no-op when already present
                 _write_images(out_dir)  # no-op when already present
+                _write_discovery(out_dir)  # no-op when already present
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1648,6 +1649,7 @@ def generate(tier: str, out_dir: str, portals=None, force=False) -> str:
     if tier == "tiny":
         _write_expected(out_dir)
     _write_images(out_dir)
+    _write_discovery(out_dir)
 
     with open(mpath, "w") as f:
         json.dump(manifest, f)
@@ -1762,6 +1764,114 @@ def png_bytes(width: int, height: int, rng, channels: int = 3) -> bytes:
         dtype=np.uint8,
     ).reshape(height, width, channels)
     return encode_png(arr)
+
+
+_DISCOVERY_V = 1
+
+
+def robots_txt_body(netloc: str, crawl_delay_s: float,
+                    disallow_prefixes, style: int = 0) -> str:
+    """Render a robots.txt body EQUIVALENT to one robots-table row (the
+    inverse of operators/robotstxt.py:parse_robots — parse(render(row))
+    must reproduce the row, which tests/test_discovery.py proves).
+    ``style`` varies formatting/extras so the parser sees realistic
+    variety, never different semantics."""
+    dis = "".join(f"Disallow: {p}\n" for p in disallow_prefixes)
+    sitemap = f"Sitemap: https://{netloc}/sitemap.xml\n"
+    if style % 3 == 1:  # specific-agent group first; '*' group still wins
+        return (
+            f"# robots for {netloc}\n"
+            "User-agent: specialbot\nDisallow: /\n\n"
+            f"User-agent: *\n{dis}Crawl-delay: {crawl_delay_s:g}\n"
+            + sitemap
+        )
+    if style % 3 == 2:  # comments, CRLF, Allow extras
+        return (
+            f"User-agent: * # alle\r\n{dis}"
+            "Allow: /public/\r\n"
+            f"Crawl-delay: {crawl_delay_s:g}\r\n\r\n" + sitemap
+        )
+    return (f"User-agent: *\n{dis}Crawl-delay: {crawl_delay_s:g}\n"
+            + sitemap)
+
+
+def _write_discovery(fix_dir: str) -> None:
+    """Discovery-loop fixture: per-host robots.txt BODIES (rendered from
+    the tier's robots table) and per-host sitemap XML documents (listing
+    the tier's real page URLs; the first host gets a two-level
+    sitemapindex).  Deterministic; versioned like images.parquet."""
+    rpath = os.path.join(fix_dir, "robots_txt.parquet")
+    spath = os.path.join(fix_dir, "sitemaps.parquet")
+    vpath = os.path.join(fix_dir, "_discovery.v")
+    if os.path.exists(rpath) and os.path.exists(spath):
+        try:
+            with open(vpath) as f:
+                if f.read().strip() == str(_DISCOVERY_V):
+                    return
+        except OSError:
+            pass
+    import re as _re
+
+    robots = pq.read_table(os.path.join(fix_dir, "robots.parquet")).to_pylist()
+    pages = pq.read_table(os.path.join(fix_dir, "pages.parquet"),
+                          columns=["url"])
+    by_host: dict = {}
+    for u in pages.column("url").to_pylist():
+        m = _re.match(r"https?://([^/]+)", u)
+        if m:
+            by_host.setdefault(m.group(1), []).append(u)
+
+    rb = {"netloc": [], "robots_txt": []}
+    for i, row in enumerate(robots):
+        rb["netloc"].append(row["netloc"])
+        rb["robots_txt"].append(robots_txt_body(
+            row["netloc"], row["crawl_delay_s"],
+            row["disallow_prefixes"], style=i))
+    pq.write_table(pa.table(rb), rpath)
+
+    sm = {"netloc": [], "url": [], "xml": []}
+
+    def urlset(urls):
+        items = "".join(
+            f"<url><loc>{u.replace('&', '&amp;')}</loc>"
+            f"<lastmod>2021-05-{(k % 28) + 1:02d}</lastmod></url>"
+            for k, u in enumerate(urls)
+        )
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + items + "</urlset>")
+
+    hosts = sorted(h for h in by_host if h in {r["netloc"] for r in robots})
+    for hi, host in enumerate(hosts):
+        # plant disallowed paths so the downstream robots_filter leg has
+        # real work (the tier's organic URLs never hit /intern|/admin)
+        urls = sorted(by_host[host])[:150] + [
+            f"https://{host}/intern/secret{hi}",
+            f"https://{host}/admin/panel{hi}",
+        ]
+        base = f"https://{host}/sitemap.xml"
+        if hi == 0 and len(urls) >= 4:  # two-level index for the first host
+            half = len(urls) // 2
+            subs = [f"https://{host}/sitemap-{j}.xml" for j in (1, 2)]
+            idx = ('<sitemapindex '
+                   'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   + "".join(f"<sitemap><loc>{s}</loc></sitemap>"
+                             for s in subs)
+                   + "</sitemapindex>")
+            sm["netloc"].append(host)
+            sm["url"].append(base)
+            sm["xml"].append(idx)
+            for s, chunk in zip(subs, (urls[:half], urls[half:])):
+                sm["netloc"].append(host)
+                sm["url"].append(s)
+                sm["xml"].append(urlset(chunk))
+        else:
+            sm["netloc"].append(host)
+            sm["url"].append(base)
+            sm["xml"].append(urlset(urls))
+    pq.write_table(pa.table(sm), spath)
+    with open(vpath, "w") as f:
+        f.write(str(_DISCOVERY_V))
 
 
 _IMAGES_V = 2  # bump to regenerate images.parquet without touching the tier
