@@ -1917,6 +1917,46 @@ WHERE len(stadtviertel) >= 10
 """
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """RFC 3986 canonicalization (functions/urls.py) proven cross-engine:
+    deterministically MESS UP every page URL (uppercased scheme+host,
+    default port, dot-segments, duplicate slashes, fragment, empty
+    query) with the same expressions in both engines, then canonicalize —
+    the hashes match only if the full chain is byte-identical."""
+    from scrapy_crawler_german_real_estate_sites_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    p = _fx(spark, sf_dir, "pages").select("url")
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
+    path = F.regexp_replace("url", r"^https?://[^/?#]+", "")
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper(host), F.lit(":443//x/../."),
+        F.lit("/"), path, F.lit("?#frag"),
+    )
+    return p.select(
+        "url",
+        messy.alias("messy"),
+        canonicalize_url(messy).alias("canon"),
+    )
+
+
+def _sql_url_canonicalize() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.functions.urls import (
+        sql_canonicalize_url,
+    )
+
+    messy = (
+        "concat('HTTPS://', upper(regexp_extract(url, '^https?://([^/?#]+)', 1)),"
+        " ':443//x/../.', '/',"
+        " regexp_replace(url, '^https?://[^/?#]+', ''), '?#frag')"
+    )
+    return f"""
+SELECT url, {messy} AS messy, {sql_canonicalize_url(messy)} AS canon
+FROM read_parquet('{_fp("pages")}')
+"""
+
+
 def q_sitemap_ingest(spark, sf_dir):
     """Sitemap ingest (operators/sitemaps.py): the tier's per-host
     sitemap/sitemap-index documents (fixture ``sitemaps.parquet``,
@@ -2711,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_ann_pq": q_embedding_ann_pq,
         "sitemap_ingest": q_sitemap_ingest,
+        "url_canonicalize": q_url_canonicalize,
     }
 
 
@@ -2804,4 +2845,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _sql_corpus_clean(),
         "sitemap_cities": SQL_SITEMAP,
         "sitemap_ingest": _sql_sitemap_ingest(),
+        "url_canonicalize": _sql_url_canonicalize(),
     }

@@ -1,0 +1,81 @@
+"""URL canonicalization (RFC 3986 §6) — expression-only, oracle-mirrorable.
+
+The engine's D1 normalization (query-strip, `url_normalize`) mirrors the
+reference spiders; a 10^10-URL frontier additionally needs the standard
+syntax-based canonicalization so that trivially-distinct spellings of one
+resource collapse BEFORE the seen-set probe (every real crawler —
+Nutch/Heritrix/CC — runs one).  Implemented here per RFC 3986 §6.2.2/§6.2.3
+as a whole-stage-codegen expression chain (no Python, no UDF):
+
+* scheme + host lowercased (§6.2.2.1);
+* default ports stripped (``http://h:80`` / ``https://h:443`` — §6.2.3);
+* fragment removed (crawlers fetch the resource, not the view);
+* duplicate path slashes collapsed;
+* dot-segments removed (§5.2.4) by BOUNDED unrolling: ``/./`` and
+  ``segment/../`` rewrites applied ``_DOT_ITERS`` times — RE2 (the
+  DuckDB-oracle regex engine) has no lookahead, so "segment ≠ ``..``" is
+  an explicit alternation, and one pass per nesting level replaces the
+  spec's loop (documented bound, ample for real URL depth);
+* empty query (trailing ``?``) dropped.
+
+NOT done (documented): percent-encoding case/unreserved normalization
+(needs per-octet rewriting — a table-driven Arrow UDF at deployment) and
+query-parameter reordering (semantics-changing on many sites).
+
+Every step is a (pattern, replacement) pair built ONCE and rendered for
+both engines — Spark ``regexp_replace`` uses ``$1`` backreferences,
+DuckDB uses ``\\1``; the pattern text itself is shared Java∩RE2 syntax,
+so the two chains are byte-for-byte the same transformation (query
+``url_canonicalize`` is the cross-engine proof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DOT_ITERS = 4  # bounded §5.2.4 unroll: handles 4 nesting levels/pass pair
+
+# "a path segment that is not '.' and not '..'" without lookahead:
+# starts with a non-dot char, OR '.'+non-dot, OR '..'+at-least-one-char
+_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+
+# ordered (pattern, group-replacement) steps AFTER the scheme/host/port
+# prefix handling; {g1} is rendered as $1 (Spark) or \1 (DuckDB)
+_PATH_STEPS = (
+    [(r"#.*$", "")]                      # fragment
+    + [(r"([^:/])//+", "{g1}/")] * 2      # collapse duplicate slashes
+    + [(r"/\./", "/")] * _DOT_ITERS       # /./  (one level per pass)
+    + [(r"/\.$", "/")]                    # trailing /.
+    + [(rf"/{_SEG}/\.\./", "/")] * _DOT_ITERS  # seg/../
+    + [(rf"/{_SEG}/\.\.$", "/")]          # trailing seg/..
+    + [(r"\?$", "")]                      # empty query
+)
+
+_PREFIX = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """RFC 3986 syntax-based canonical form — pure Catalyst expressions."""
+    prefix = F.lower(F.regexp_extract(col, _PREFIX, 1))
+    prefix = F.regexp_replace(prefix, r"^(http://[^:/]+):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://[^:/]+):443$", "$1")
+    rest = F.regexp_replace(col, _PREFIX, "")
+    x = rest
+    for pat, rep in _PATH_STEPS:
+        x = F.regexp_replace(x, pat, rep.format(g1="$1"))
+    return F.concat(prefix, x)
+
+
+def sql_canonicalize_url(expr: str) -> str:
+    """The identical chain as a DuckDB expression (oracle mirror)."""
+    prefix = f"lower(regexp_extract({expr}, '{_PREFIX}', 1))"
+    prefix = f"regexp_replace({prefix}, '^(http://[^:/]+):80$', '\\1')"
+    prefix = f"regexp_replace({prefix}, '^(https://[^:/]+):443$', '\\1')"
+    rest = f"regexp_replace({expr}, '{_PREFIX}', '')"
+    x = rest
+    for pat, rep in _PATH_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.format(g1="\\1").replace("'", "''")
+        x = f"regexp_replace({x}, '{p}', '{r}', 'g')"
+    return f"concat({prefix}, {x})"
