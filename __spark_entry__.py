@@ -1957,6 +1957,47 @@ FROM read_parquet('{_fp("pages")}')
 """
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling (operators/recrawl.py, Cho & Garcia-Molina
+    2003): per-URL capture history → bias-corrected change-rate MLE →
+    clamped refresh interval → staleness priority.  History is derived
+    deterministically from each URL's md5 with identical expressions in
+    both engines (the multimodal-stub pattern), so the oracle proves the
+    estimator/policy math cross-engine."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.recrawl import (
+        recrawl_schedule,
+    )
+
+    p = _fx(spark, sf_dir, "pages").select("url")
+    h = F.md5(F.col("url"))
+    stats = p.select(
+        "url",
+        F.lit(8.0).alias("n_obs"),
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 9)
+        .cast("double").alias("n_changes"),
+        F.lit(2592000.0).alias("span_s"),
+        (F.lit(86400.0)
+         + (F.conv(F.substring(h, 3, 5), 16, 10).cast("long") % 2592000)
+         .cast("double")).alias("age_s"),
+    )
+    return recrawl_schedule(stats)
+
+
+def _sql_recrawl_schedule() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.operators.recrawl import (
+        sql_recrawl_schedule,
+    )
+
+    stats = f"""(
+SELECT url, 8.0 AS n_obs,
+       CAST(CAST(concat('0x', substr(md5(url), 1, 2)) AS BIGINT) % 9 AS DOUBLE) AS n_changes,
+       2592000.0 AS span_s,
+       86400.0 + CAST(CAST(concat('0x', substr(md5(url), 3, 5)) AS BIGINT) % 2592000 AS DOUBLE) AS age_s
+FROM read_parquet('{_fp("pages")}')
+) stats"""
+    return sql_recrawl_schedule(stats)
+
+
 def q_sitemap_ingest(spark, sf_dir):
     """Sitemap ingest (operators/sitemaps.py): the tier's per-host
     sitemap/sitemap-index documents (fixture ``sitemaps.parquet``,
@@ -2752,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_pq": q_embedding_ann_pq,
         "sitemap_ingest": q_sitemap_ingest,
         "url_canonicalize": q_url_canonicalize,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -2846,4 +2888,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_cities": SQL_SITEMAP,
         "sitemap_ingest": _sql_sitemap_ingest(),
         "url_canonicalize": _sql_url_canonicalize(),
+        "recrawl_schedule": _sql_recrawl_schedule(),
     }
