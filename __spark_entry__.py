@@ -1957,6 +1957,41 @@ FROM read_parquet('{_fp("pages")}')
 """
 
 
+def q_content_sniff(spark, sf_dir):
+    """Magic-byte MIME sniffing (functions/sniff.py, WHATWG sniffing core
+    table) over BOTH binary families the fixture carries: the images
+    table (real BMP/PNG/PPM + opaque payloads) and the pages table
+    (HTML bodies) — per-mime rollup so the oracle pins every branch."""
+    from scrapy_crawler_german_real_estate_sites_spark.functions.sniff import (
+        sniff_mime,
+    )
+
+    img = _fx(spark, sf_dir, "images").select(
+        F.lit("images").alias("src"), sniff_mime(F.col("img")).alias("mime"))
+    pg = _fx(spark, sf_dir, "pages").select(
+        F.lit("pages").alias("src"),
+        sniff_mime(F.col("html")).alias("mime"))
+    return img.unionByName(pg).groupBy("src", "mime").agg(
+        F.count("*").cast("long").alias("n"))
+
+
+def _sql_content_sniff() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.functions.sniff import (
+        sql_sniff_mime,
+    )
+
+    return f"""
+WITH u AS (
+  SELECT 'images' AS src, {sql_sniff_mime("img")} AS mime
+  FROM read_parquet('{_fp("images")}')
+  UNION ALL
+  SELECT 'pages' AS src, {sql_sniff_mime("html")} AS mime
+  FROM read_parquet('{_fp("pages")}')
+)
+SELECT src, mime, count(*) AS n FROM u GROUP BY src, mime
+"""
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Recrawl scheduling (operators/recrawl.py, Cho & Garcia-Molina
     2003): per-URL capture history → bias-corrected change-rate MLE →
@@ -2794,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "url_canonicalize": q_url_canonicalize,
         "recrawl_schedule": q_recrawl_schedule,
+        "content_sniff": q_content_sniff,
     }
 
 
@@ -2889,4 +2925,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_ingest": _sql_sitemap_ingest(),
         "url_canonicalize": _sql_url_canonicalize(),
         "recrawl_schedule": _sql_recrawl_schedule(),
+        "content_sniff": _sql_content_sniff(),
     }
