@@ -93,3 +93,59 @@ def quality_filter(
         "n_words",
         reason.alias("reason"),
     ).withColumn("keep", F.col("reason") == "ok")
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio signal (round 4)
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    min_ratio: float = 0.30, max_ratio: float = 1.05,
+) -> "DataFrame":
+    """DEFLATE-compressibility quality signal — the corpus-hygiene rule
+    several public LLM-data pipelines apply alongside the Gopher rules
+    (e.g. Dolma's "document compression ratio" filter; RefinedWeb's
+    near-duplicate-line proxies are the same intuition): machine-
+    generated/templated text compresses far below natural prose, and
+    adversarial noise barely compresses at all.
+
+    Emits (id, n_bytes, n_compressed, ratio, keep) where ``ratio`` =
+    compressed/uncompressed over the UTF-8 bytes (zlib level 6,
+    deterministic) and ``keep`` = ratio in [min_ratio, max_ratio] —
+    band defaults follow the published practice of dropping only the
+    extremes.
+
+    Scale shape: one Arrow ``mapInPandas`` pass (zlib is per-row
+    imperative work — the designated slow-path budget, same as the
+    multimodal/WARC decoders), zero shuffle, output O(rows) narrow.
+    No DuckDB oracle by design: DuckDB exposes no DEFLATE; the pytest
+    pins a python-zlib mirror instead (`tests/test_quality.py`)."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    lo, hi = float(min_ratio), float(max_ratio)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, nc, ratio, keep = [], [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                r = (len(comp) / len(raw)) if raw else 1.0
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(round(r, 6))
+                keep.append(lo <= r <= hi)
+            yield pd.DataFrame({
+                id_col: ids, "n_bytes": nb, "n_compressed": nc,
+                "ratio": ratio, "keep": keep,
+            })
+
+    schema = (f"{id_col} {dict(df.dtypes)[id_col]}, n_bytes long, "
+              "n_compressed long, ratio double, keep boolean")
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -58,10 +58,12 @@ SKIP = {"crawl_listings", "alerts", "embedding_ann_ivf", "dedup_clusters"}
 PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas")
 
-# sources whose one Arrow pass IS the operator (byte unframing that no
-# expression can express) — everything downstream of it must stay native,
-# which test_warc.py's pure-map plan assertion covers
-ARROW_OK = {"warc_ingest"}
+# sources whose one Arrow pass IS the operator (byte/grammar unframing
+# that no expression can express) — everything downstream must stay
+# native: test_warc.py's pure-map plan assertion covers warc_ingest, and
+# sitemap_ingest is the same shape (XML block unframing; its DuckDB
+# oracle proves the extraction itself cross-engine)
+ARROW_OK = {"warc_ingest", "sitemap_ingest"}
 
 
 def _plan(spark, name):

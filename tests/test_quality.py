@@ -109,3 +109,68 @@ def test_plan_has_no_python_eval(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio signal (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_python_mirror(spark):
+    import zlib
+
+    from scrapy_crawler_german_real_estate_sites_spark.operators.quality import (
+        compression_ratio,
+    )
+
+    import random as _rnd
+    import string as _str
+
+    rng = _rnd.Random(13)
+    noise = "".join(rng.choice(_str.ascii_letters + _str.digits)
+                    for _ in range(800))
+    docs = [
+        ("prose",
+         "Die Wohnung liegt zentral und hat drei helle Zimmer. "
+         "Vom Südbalkon blickt man über den alten Stadtpark. "
+         "Eine Einbauküche wurde im letzten Frühjahr montiert. "
+         "Der Vermieter wohnt selbst im Erdgeschoss des Hauses. "
+         "Schulen, Ärzte und zwei Supermärkte sind fußläufig. "
+         "Das Bad verfügt über Wanne, Dusche und ein Fenster. "
+         "Parkett aus Eiche durchzieht sämtliche Wohnräume. "
+         "Die Nebenkosten enthalten Heizung sowie Warmwasser. "
+         "Ein Kellerabteil und ein Fahrradraum gehören dazu. "
+         "Besichtigungen sind ab kommender Woche möglich."),
+        ("template", "wohnung kaufen " * 200),
+        ("noise", noise),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for did, text in docs:
+        raw = text.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        r = got[did]
+        assert r.n_bytes == len(raw)
+        assert r.n_compressed == len(comp)
+        want = round(len(comp) / len(raw), 6) if raw else 1.0
+        assert r.ratio == want
+    # the band keeps prose, drops the templated doc (hyper-compressible)
+    assert got["prose"].keep is True
+    assert got["template"].keep is False
+    assert got["template"].ratio < 0.1
+    # near-incompressible noise exceeds natural-prose ratios
+    assert got["noise"].ratio > got["prose"].ratio
+
+
+def test_compression_ratio_partition_invariant(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.operators.quality import (
+        compression_ratio,
+    )
+
+    rows = [(f"d{i}", f"text body {i} " * (i % 7 + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted((r.doc_id, r.ratio) for r in compression_ratio(df).collect())
+    b = sorted((r.doc_id, r.ratio)
+               for r in compression_ratio(df.repartition(7)).collect())
+    assert a == b
