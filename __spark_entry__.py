@@ -2691,6 +2691,72 @@ r{i + 1} AS MATERIALIZED (
     return sql + f"\nSELECT url, r * (SELECT n FROM nn) AS rank_mass FROM r{iters}"
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-level PageRank — the domain-authority ranking a web-scale
+    frontier budgets hosts by (Common Crawl publishes exactly this as its
+    host-level ranks): URL edges rolled up to distinct inter-host pairs
+    (`operators/graph.py:host_graph`, self-loops dropped), then the same
+    dangling-mass PageRank dataflow as `link_pagerank` for 6 iterations.
+    Oracle: identical extraction + host rollup + 6 unrolled iterations."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.graph import (
+        extract_edges, host_graph, pagerank,
+    )
+
+    hedges = (
+        host_graph(extract_edges(_fx(spark, sf_dir, "pages")))
+        .where(~F.col("intra"))
+        .select(F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"))
+    )
+    return pagerank(hedges, iters=6).withColumnRenamed("url", "host")
+
+
+def _sql_host_pagerank(iters: int = 6, d: float = 0.85) -> str:
+    sql = f"""
+WITH raw AS (
+  SELECT url AS src,
+         regexp_extract(url, '^(https?://[^/]+)', 1) AS base,
+         unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS link
+  FROM read_parquet('{_fp("pages")}')
+), resolved AS (
+  SELECT src,
+         regexp_replace(
+           CASE WHEN link LIKE 'http://%' OR link LIKE 'https://%' THEN link
+                WHEN link LIKE '/%' THEN base || link END, '#.*$', '') AS dst
+  FROM raw
+), uedges AS (
+  SELECT DISTINCT src, dst FROM resolved WHERE dst IS NOT NULL AND dst <> src
+), edges AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src, '^https?://([^/]+)', 1) AS src,
+                  regexp_extract(dst, '^https?://([^/]+)', 1) AS dst
+  FROM uedges
+  WHERE regexp_extract(src, '^https?://([^/]+)', 1)
+        <> regexp_extract(dst, '^https?://([^/]+)', 1)
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT url
+  FROM (SELECT src AS url FROM edges UNION ALL SELECT dst AS url FROM edges)
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT url, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+dang{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.r), 0.0) AS m FROM r{i} r
+  LEFT JOIN (SELECT DISTINCT src FROM outdeg) o ON r.url = o.src
+  WHERE o.src IS NULL),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS url, sum(r.r / o.deg) AS s
+  FROM r{i} r JOIN outdeg o ON r.url = o.src JOIN edges e ON e.src = r.url
+  GROUP BY 1),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.url,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.s, 0.0) + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS r
+  FROM nodes n LEFT JOIN c{i} c ON n.url = c.url)"""
+    return sql + (f"\nSELECT url AS host, r * (SELECT n FROM nn) AS rank_mass"
+                  f" FROM r{iters}")
+
+
 def q_anchor_text(spark, sf_dir):
     """Anchor-text aggregation per link target (operators/graph.py):
     in-anchor count, distinct-anchor count, and most-frequent anchor
@@ -2830,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "recrawl_schedule": q_recrawl_schedule,
         "content_sniff": q_content_sniff,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -2926,4 +2993,5 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _sql_url_canonicalize(),
         "recrawl_schedule": _sql_recrawl_schedule(),
         "content_sniff": _sql_content_sniff(),
+        "host_pagerank": _sql_host_pagerank(),
     }
