@@ -10,8 +10,11 @@ as a whole-stage-codegen expression chain (no Python, no UDF):
 * scheme + host lowercased (§6.2.2.1);
 * default ports stripped (``http://h:80`` / ``https://h:443`` — §6.2.3);
 * fragment removed (crawlers fetch the resource, not the view);
-* duplicate path slashes collapsed;
-* dot-segments removed (§5.2.4) by BOUNDED unrolling: ``/./`` and
+* duplicate path slashes collapsed — PATH COMPONENT ONLY: the rest is
+  split at the first ``?`` and the query string passes through verbatim
+  (a query value like ``?next=/a/../b`` keeps its meaning);
+* dot-segments removed (§5.2.4, path-only per spec) by BOUNDED
+  unrolling: ``/./`` and
   ``segment/../`` rewrites applied ``_DOT_ITERS`` times — RE2 (the
   DuckDB-oracle regex engine) has no lookahead, so "segment ≠ ``..``" is
   an explicit alternation, and one pass per nesting level replaces the
@@ -40,16 +43,16 @@ _DOT_ITERS = 4  # bounded §5.2.4 unroll: handles 4 nesting levels/pass pair
 # starts with a non-dot char, OR '.'+non-dot, OR '..'+at-least-one-char
 _SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
 
-# ordered (pattern, group-replacement) steps AFTER the scheme/host/port
-# prefix handling; {g1} is rendered as $1 (Spark) or \1 (DuckDB)
+# ordered (pattern, group-replacement) steps applied to the PATH component
+# only — RFC 3986 §5.2.4 dot-segment removal is path-only, and rewriting a
+# query value like ?next=/a/../b would change semantics.  {g1} is rendered
+# as $1 (Spark) or \1 (DuckDB).
 _PATH_STEPS = (
-    [(r"#.*$", "")]                      # fragment
-    + [(r"([^:/])//+", "{g1}/")] * 2      # collapse duplicate slashes
+    [(r"([^:/])//+", "{g1}/")] * 2        # collapse duplicate slashes
     + [(r"/\./", "/")] * _DOT_ITERS       # /./  (one level per pass)
     + [(r"/\.$", "/")]                    # trailing /.
     + [(rf"/{_SEG}/\.\./", "/")] * _DOT_ITERS  # seg/../
     + [(rf"/{_SEG}/\.\.$", "/")]          # trailing seg/..
-    + [(r"\?$", "")]                      # empty query
 )
 
 _PREFIX = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
@@ -61,10 +64,13 @@ def canonicalize_url(col: Column) -> Column:
     prefix = F.regexp_replace(prefix, r"^(http://[^:/]+):80$", "$1")
     prefix = F.regexp_replace(prefix, r"^(https://[^:/]+):443$", "$1")
     rest = F.regexp_replace(col, _PREFIX, "")
-    x = rest
+    rest = F.regexp_replace(rest, r"#.*$", "")      # fragment strip (global)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)   # split at first '?'
+    query = F.regexp_replace(rest, r"^[^?]*", "")   # '?...' or ''
     for pat, rep in _PATH_STEPS:
-        x = F.regexp_replace(x, pat, rep.format(g1="$1"))
-    return F.concat(prefix, x)
+        path = F.regexp_replace(path, pat, rep.format(g1="$1"))
+    query = F.regexp_replace(query, r"^\?$", "")    # empty query dropped
+    return F.concat(prefix, path, query)
 
 
 def sql_canonicalize_url(expr: str) -> str:
@@ -73,9 +79,12 @@ def sql_canonicalize_url(expr: str) -> str:
     prefix = f"regexp_replace({prefix}, '^(http://[^:/]+):80$', '\\1')"
     prefix = f"regexp_replace({prefix}, '^(https://[^:/]+):443$', '\\1')"
     rest = f"regexp_replace({expr}, '{_PREFIX}', '')"
-    x = rest
+    rest = f"regexp_replace({rest}, '#.*$', '', 'g')"
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    query = f"regexp_replace({rest}, '^[^?]*', '')"
     for pat, rep in _PATH_STEPS:
         p = pat.replace("'", "''")
         r = rep.format(g1="\\1").replace("'", "''")
-        x = f"regexp_replace({x}, '{p}', '{r}', 'g')"
-    return f"concat({prefix}, {x})"
+        path = f"regexp_replace({path}, '{p}', '{r}', 'g')"
+    query = f"regexp_replace({query}, '^\\?$', '')"
+    return f"concat({prefix}, {path}, {query})"

@@ -75,6 +75,11 @@ class CuckooFilter:
         self.max_kicks = max_kicks
         self.seed_tag = seed_tag
         self.table = np.zeros((n_buckets, slots), dtype=np.uint16)
+        # victim cache: (bucket, fp) pairs whose kick chain exhausted —
+        # without it the LAST displaced fingerprint would silently lose
+        # membership (false negatives, i.e. duplicate refetches).  Probed
+        # by contains_series / delete_many; carried through serialization.
+        self.stash: list[tuple[int, int]] = []
         self._rng = np.random.RandomState(0xC0C0)  # deterministic kicks
 
     # -- hashing ------------------------------------------------------
@@ -94,7 +99,9 @@ class CuckooFilter:
     # -- core ops -----------------------------------------------------
     def _insert_entry(self, i1: int, fp: int) -> bool:
         """Insert one fingerprint given its primary bucket (spec insert:
-        try both buckets, then kick)."""
+        try both buckets, then kick).  On kick-chain exhaustion the final
+        displaced victim goes to the stash — membership is NEVER silently
+        lost; a growing stash (returns False) is the resize signal."""
         i2 = int(self._alt(np.array([i1]), np.array([fp], np.uint16))[0])
         for b in (i1, i2):
             row = self.table[b]
@@ -113,11 +120,22 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = cur
                 return True
-        return False  # table effectively full (spec: resize/overflow)
+        # table effectively full: keep the last victim (which was already
+        # evicted from self.table above) in the victim cache
+        self.stash.append((b, int(cur)))
+        if len(self.stash) == self._STASH_WARN:
+            import warnings
+            warnings.warn(
+                f"CuckooFilter stash reached {len(self.stash)} entries at "
+                f"load {self.load:.3f} — resize n_buckets", RuntimeWarning)
+        return False
+
+    _STASH_WARN = 64
 
     def insert_many(self, urls) -> int:
-        """Insert a batch; returns how many landed (all, unless the table
-        is pathologically full — callers size n_buckets for <95% load)."""
+        """Insert a batch; returns how many landed in the TABLE (overflow
+        goes to the stash, still queryable — callers size n_buckets for
+        <95% load and treat a shortfall as the resize signal)."""
         if not len(urls):
             return 0
         fp, i1 = self._fp_i1(urls)
@@ -125,13 +143,16 @@ class CuckooFilter:
                    for a, f in zip(i1, fp))
 
     def contains_series(self, s: pd.Series) -> pd.Series:
-        """Vectorized membership probe: exactly two bucket reads/row."""
+        """Vectorized membership probe: exactly two bucket reads/row
+        (+ the victim cache, normally empty)."""
         if not len(s):
             return pd.Series([], dtype=bool)
         fp, i1 = self._fp_i1(s.to_numpy(dtype=object))
         i2 = self._alt(i1, fp)
         hit = ((self.table[i1] == fp[:, None]).any(axis=1)
                | (self.table[i2] == fp[:, None]).any(axis=1))
+        for sb, sf in self.stash:  # a stash bucket is one of the entry's
+            hit |= (fp == sf) & ((i1 == sb) | (i2 == sb))  # two candidates
         return pd.Series(hit)
 
     def delete_many(self, urls) -> int:
@@ -143,33 +164,63 @@ class CuckooFilter:
         i2 = self._alt(i1, fp)
         deleted = 0
         for f, a, b in zip(fp, i1, i2):
+            done = False
             for bucket in (int(a), int(b)):
                 slot = np.nonzero(self.table[bucket] == f)[0]
                 if len(slot):
                     self.table[bucket, slot[0]] = 0
                     deleted += 1
+                    done = True
                     break
+            if not done and self.stash:
+                for j, (sb, sf) in enumerate(self.stash):
+                    if sf == int(f) and sb in (int(a), int(b)):
+                        self.stash.pop(j)
+                        deleted += 1
+                        break
         return deleted
 
     # -- (de)serialization for broadcast / shard merge ----------------
     def occupied_entries(self) -> tuple[np.ndarray, np.ndarray]:
-        """(bucket, fp) of every stored fingerprint — sufficient to
-        re-insert into another table (partial-key property)."""
+        """(bucket, fp) of every stored fingerprint, stash included —
+        sufficient to re-insert into another table (partial-key
+        property)."""
         b, s = np.nonzero(self.table)
-        return b.astype(np.int64), self.table[b, s]
+        b, f = b.astype(np.int64), self.table[b, s]
+        if self.stash:
+            b = np.concatenate(
+                [b, np.array([e[0] for e in self.stash], np.int64)])
+            f = np.concatenate(
+                [f, np.array([e[1] for e in self.stash], np.uint16)])
+        return b, f
 
     def merge_entries(self, buckets: np.ndarray, fps: np.ndarray) -> int:
         return sum(self._insert_entry(int(b), int(f))
                    for b, f in zip(buckets, fps))
 
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        """table bytes + trailing stash entries (10 bytes each: int64
+        bucket, uint16 fp); table size is fixed by (n_buckets, slots) so
+        the split point is recoverable."""
+        parts = [self.table.tobytes()]
+        for sb, sf in self.stash:
+            parts.append(np.int64(sb).tobytes())
+            parts.append(np.uint16(sf).tobytes())
+        return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, raw: bytes, n_buckets: int, slots: int = 4):
         cf = cls(n_buckets, slots)
-        cf.table = np.frombuffer(raw, dtype=np.uint16).reshape(
+        split = n_buckets * slots * 2
+        cf.table = np.frombuffer(raw[:split], dtype=np.uint16).reshape(
             n_buckets, slots).copy()
+        pos = split
+        while pos < len(raw):
+            sb = int(np.frombuffer(raw[pos:pos + 8], dtype=np.int64)[0])
+            sf = int(np.frombuffer(raw[pos + 8:pos + 10],
+                                   dtype=np.uint16)[0])
+            cf.stash.append((sb, sf))
+            pos += 10
         return cf
 
     @property

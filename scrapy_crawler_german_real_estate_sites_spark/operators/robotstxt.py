@@ -13,9 +13,11 @@ extensions every major crawler honors:
 * groups = consecutive ``User-agent`` lines followed by rules; a rule
   line belongs to the nearest preceding group (RFC 9309 §2.2.1);
 * agent match is case-insensitive on the product token; the MOST
-  SPECIFIC match wins — exact token beats substring beats ``*`` — and
-  only the winning group's rules apply (RFC 9309 §2.2.1: "crawlers MUST
-  obey the first matching group");
+  SPECIFIC match wins — exact token beats token-prefix beats ``*`` —
+  and the rules of ALL groups sharing that winning specificity are
+  MERGED in document order (RFC 9309 §2.2.1: "If more than one group
+  matches, the matching groups' rules MUST be combined" — e.g. two
+  separate ``User-agent: *`` groups, a common real-world pattern);
 * ``Disallow:`` with an empty value = allow-all (not a rule);
 * ``Allow`` lines are collected separately (the engine's prefix filter
   is disallow-only; allow is exposed for longest-match consumers);
@@ -49,9 +51,10 @@ def parse_robots_text(body: str, user_agent: str = "*") -> dict:
     """Parse ONE robots.txt body for ``user_agent``.
 
     Returns {crawl_delay_s, disallow_prefixes, allow_prefixes, sitemaps}
-    from the most specific matching group (exact agent token > substring
-    > '*'); hosts without a matching group get empty rules (allow-all,
-    RFC 9309 §2.2.1)."""
+    merged across ALL groups at the most specific matching level (exact
+    agent token > token-prefix > '*', RFC 9309 §2.2.1: matching groups'
+    rules MUST be combined); hosts without a matching group get empty
+    rules (allow-all)."""
     ua = user_agent.lower()
     groups: list[dict] = []  # {agents: [..], dis: [..], alw: [..], delay}
     cur: Optional[dict] = None
@@ -93,11 +96,13 @@ def parse_robots_text(body: str, user_agent: str = "*") -> dict:
                 pass
 
     def specificity(g) -> int:
+        # exact token > token-prefix (robots agent value is a prefix of
+        # our product token, the Googlebot-parser rule) > '*'
         best = -1
         for a in g["agents"]:
             if a == ua:
                 s = 3
-            elif a != "*" and (a in ua or ua in a):
+            elif a != "*" and ua.startswith(a):
                 s = 2
             elif a == "*":
                 s = 1
@@ -106,18 +111,27 @@ def parse_robots_text(body: str, user_agent: str = "*") -> dict:
             best = max(best, s)
         return best
 
-    best_s, best_g = 0, None
+    best_s = 0
     for g in groups:
-        s = specificity(g)
-        if s > best_s:  # first group wins ties (RFC: first matching)
-            best_s, best_g = s, g
-    if best_g is None:
+        best_s = max(best_s, specificity(g))
+    if best_s == 0:
         return {"crawl_delay_s": None, "disallow_prefixes": [],
                 "allow_prefixes": [], "sitemaps": sitemaps}
+    # RFC 9309 §2.2.1: every group at the winning specificity contributes;
+    # merge rules in document order. Crawl-delay: first non-None wins.
+    dis: list[str] = []
+    alw: list[str] = []
+    delay = None
+    for g in groups:
+        if specificity(g) == best_s:
+            dis.extend(g["dis"])
+            alw.extend(g["alw"])
+            if delay is None:
+                delay = g["delay"]
     return {
-        "crawl_delay_s": best_g["delay"],
-        "disallow_prefixes": list(best_g["dis"]),
-        "allow_prefixes": list(best_g["alw"]),
+        "crawl_delay_s": delay,
+        "disallow_prefixes": dis,
+        "allow_prefixes": alw,
         "sitemaps": sitemaps,
     }
 

@@ -283,11 +283,12 @@ def build_member_index(path: str) -> list[tuple[int, int]]:
     offsets = []
     with open(path, "rb") as f:
         data = f.read()
-    pos, n = 0, len(data)
-    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+    view = memoryview(data)  # zero-copy slicing: feeding decompress a
+    pos, n = 0, len(data)    # bytes slice would memcpy the whole tail
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":  # per member
         d = zlib.decompressobj(wbits=31)
         try:
-            d.decompress(data[pos:])
+            d.decompress(view[pos:])
             d.flush()
         except zlib.error:
             break

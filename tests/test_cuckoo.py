@@ -106,3 +106,35 @@ def test_serialization_roundtrip():
     clone = CuckooFilter.from_bytes(cf.to_bytes(), 1 << 8)
     assert np.array_equal(clone.table, cf.table)
     assert clone.contains_series(pd.Series(_urls(300))).all()
+
+
+def test_overflow_goes_to_stash_no_false_negatives():
+    # Drive a tiny table past capacity: kick-chain exhaustion must park
+    # the final victim in the stash, never silently drop membership.
+    cf = CuckooFilter(n_buckets=1 << 4, slots=2, max_kicks=20)
+    ins = _urls(40)  # 40 urls into 32 slots -> guaranteed overflow
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        landed = cf.insert_many(ins)
+    assert landed < len(ins)          # table genuinely overflowed...
+    assert len(cf.stash) >= len(ins) - landed - 1  # ...victims stashed
+    assert cf.contains_series(pd.Series(ins)).all()  # ZERO false negatives
+
+    # stash entries survive serialization and the Spark broadcast path
+    clone = CuckooFilter.from_bytes(cf.to_bytes(), cf.n_buckets, cf.slots)
+    assert clone.stash == cf.stash
+    assert clone.contains_series(pd.Series(ins)).all()
+
+    # deletion reaches the stash too
+    n_stash_before = len(cf.stash)
+    assert cf.delete_many(ins) >= len(ins) - 1  # fp-collision slack
+    assert len(cf.stash) < n_stash_before or n_stash_before == 0
+
+    # occupied_entries round-trips stash entries into a same-n_buckets
+    # table with more slots (partial-key entries are bucket-count-bound)
+    big = CuckooFilter(n_buckets=1 << 4, slots=8)
+    b, f = clone.occupied_entries()
+    assert big.merge_entries(b, f) == len(b)
+    assert big.contains_series(pd.Series(ins)).all()
+    assert not big.stash

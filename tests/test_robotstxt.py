@@ -55,6 +55,34 @@ def test_substring_agent_match_beats_star():
     assert parse_robots_text(body, "unrelated")["disallow_prefixes"] == ["/b/"]
 
 
+def test_multiple_matching_groups_merge():
+    # RFC 9309 §2.2.1: two separate 'User-agent: *' groups — rules from
+    # BOTH must be combined, in document order.
+    body = ("User-agent: *\nDisallow: /a/\nCrawl-delay: 3\n\n"
+            "Some: noise\n\n"
+            "User-agent: *\nDisallow: /b/\nAllow: /b/ok/\nCrawl-delay: 9\n")
+    p = parse_robots_text(body)
+    assert p["disallow_prefixes"] == ["/a/", "/b/"]
+    assert p["allow_prefixes"] == ["/b/ok/"]
+    assert p["crawl_delay_s"] == 3.0  # first group's delay wins
+    # merge happens only at the WINNING specificity: a specific group
+    # present means '*' groups do not contribute for that agent
+    body2 = ("User-agent: immobot\nDisallow: /x/\n\n"
+             "User-agent: *\nDisallow: /y/\n\n"
+             "User-agent: immobot\nDisallow: /z/\n")
+    q = parse_robots_text(body2, "immobot")
+    assert q["disallow_prefixes"] == ["/x/", "/z/"]
+
+
+def test_agent_match_is_token_prefix_not_substring():
+    # robots agent value must be a PREFIX of our product token; our token
+    # being a substring of the robots value must NOT match.
+    body = "User-agent: immobot-special\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
+    assert parse_robots_text(body, "immobot")["disallow_prefixes"] == ["/b/"]
+    assert parse_robots_text(
+        body, "immobot-special-v2")["disallow_prefixes"] == ["/a/"]
+
+
 def test_empty_disallow_is_allow_all():
     body = "User-agent: *\nDisallow:\n"
     p = parse_robots_text(body)

@@ -31,6 +31,10 @@ CASES = [
     ("https://h.de/a?", "https://h.de/a"),
     # query content preserved verbatim (no param reordering)
     ("https://h.de/a?b=2&a=1", "https://h.de/a?b=2&a=1"),
+    # path steps are PATH-ONLY: query values with dots/slashes untouched
+    ("https://h.de/p?next=/a/../b", "https://h.de/p?next=/a/../b"),
+    ("https://h.de/p?u=https://x//y", "https://h.de/p?u=https://x//y"),
+    ("https://h.de/a/./b?keep=/./x", "https://h.de/a/b?keep=/./x"),
     # combined
     ("HTTPS://H.DE:443/a//b/./c/../d?#f", "https://h.de/a/b/d"),
 ]
