@@ -2800,6 +2800,65 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_seen_cuckoo(spark, sf_dir):
+    """D2 URL-seen membership via the DELETABLE cuckoo sketch
+    (operators/cuckoo.py, Fan et al. 2014; reference seen handling
+    database.py:27-37,88-98 + liveness delete 125-129) as a standalone
+    oracle-backed query: build the sketch distributed over the seen set,
+    DELETE a purge subset in place (the op the bloom can't do), then
+    flag a candidate stream sketch-first with an exact verify join —
+    the output is exact regardless of sketch false positives, so the
+    DuckDB oracle is a plain semi-join."""
+    import base64
+
+    from scrapy_crawler_german_real_estate_sites_spark.operators.cuckoo import (
+        build_cuckoo,
+        cuckoo_shard_rows,
+        decode_entry_payload,
+        with_cuckoo_flag,
+    )
+
+    pages = _fx(spark, sf_dir, "pages").select("url")
+    seen = pages.where(F.length("url") % 3 != 0)
+    purged = seen.where(F.length("url") % 5 == 0)
+    cf = build_cuckoo(seen, n_buckets=1 << 17)
+    # in-place purge: partitions hash dead URLs to compact (bucket, fp)
+    # entries, the driver deletes those fingerprints — no rebuild
+    for row in cuckoo_shard_rows(
+            purged.coalesce(8), cf.n_buckets, cf.slots,
+            "payload string, cnt long",
+            lambda b64, cnt: {"payload": b64, "cnt": cnt}).collect():
+        bks, fps = decode_entry_payload(
+            base64.b64decode(row.payload), int(row.cnt))
+        cf.delete_entries(bks, fps)
+    surviving = seen.join(purged, "url", "left_anti")
+    cand = pages.unionByName(
+        pages.where(F.length("url") % 2 == 1)
+        .select(F.concat("url", F.lit("-neu")).alias("url")))
+    flagged = with_cuckoo_flag(cand, cf, url_col="url")
+    # exact verify join: sketch-positive candidates checked against the
+    # surviving seen set (sketch is advisory, the join is the truth)
+    out = flagged.join(
+        surviving.withColumn("in_seen", F.lit(True)), "url", "left")
+    return out.select(
+        "url",
+        (F.col("maybe_seen")
+         & F.coalesce("in_seen", F.lit(False))).alias("is_seen"))
+
+
+def _sql_seen_cuckoo() -> str:
+    return f"""
+WITH pages AS (SELECT url FROM read_parquet('{_fp("pages")}')),
+seen AS (SELECT url FROM pages WHERE length(url) % 3 <> 0),
+surviving AS (SELECT url FROM seen WHERE length(url) % 5 <> 0),
+cand AS (SELECT url FROM pages
+         UNION ALL
+         SELECT url || '-neu' AS url FROM pages WHERE length(url) % 2 = 1)
+SELECT c.url, (s.url IS NOT NULL) AS is_seen
+FROM cand c LEFT JOIN surviving s ON c.url = s.url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED, not historical.
 

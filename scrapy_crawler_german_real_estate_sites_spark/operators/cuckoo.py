@@ -180,6 +180,32 @@ class CuckooFilter:
                         break
         return deleted
 
+    def delete_entries(self, buckets: np.ndarray, fps: np.ndarray) -> int:
+        """Delete by compact (primary-bucket, fp) entries — the
+        distributed purge path: partitions hash their dead URLs to
+        entries (:func:`cuckoo_shard_rows`), the driver deletes in place.
+        Same per-entry semantics as :meth:`delete_many`."""
+        i2 = self._alt(np.asarray(buckets, np.int64),
+                       np.asarray(fps, np.uint16))
+        deleted = 0
+        for a, b, f in zip(buckets, i2, fps):
+            f = np.uint16(f)
+            done = False
+            for bucket in (int(a), int(b)):
+                slot = np.nonzero(self.table[bucket] == f)[0]
+                if len(slot):
+                    self.table[bucket, slot[0]] = 0
+                    deleted += 1
+                    done = True
+                    break
+            if not done and self.stash:
+                for j, (sb, sf) in enumerate(self.stash):
+                    if sf == int(f) and sb in (int(a), int(b)):
+                        self.stash.pop(j)
+                        deleted += 1
+                        break
+        return deleted
+
     # -- (de)serialization for broadcast / shard merge ----------------
     def occupied_entries(self) -> tuple[np.ndarray, np.ndarray]:
         """(bucket, fp) of every stored fingerprint, stash included —
@@ -226,6 +252,43 @@ class CuckooFilter:
     @property
     def load(self) -> float:
         return float((self.table != 0).sum()) / self.table.size
+
+
+def cuckoo_shard_rows(urls_df: DataFrame, n_buckets: int, slots: int,
+                      out_schema: str, row_fn):
+    """Per-partition compact (bucket, fp) entry shards over a url-disjoint
+    DataFrame — the cuckoo analogue of ``seen.bloom_shard_rows``: yields
+    one row per non-empty partition via ``row_fn(b64_entries: str,
+    count: int)`` where the payload is ``count`` int64 buckets followed by
+    ``count`` uint16 fingerprints (10 bytes/URL, never URL strings).  The
+    driver re-inserts with :meth:`CuckooFilter.merge_entries`."""
+    import base64
+
+    probe = CuckooFilter(n_buckets, slots)
+
+    def partial(batches):
+        bs, fs = [], []
+        for pdf in batches:
+            if len(pdf):
+                fp, i1 = probe._fp_i1(pdf["url"].tolist())
+                bs.append(i1)
+                fs.append(fp)
+        if bs:
+            payload = (np.concatenate(bs).tobytes()
+                       + np.concatenate(fs).tobytes())
+            cnt = sum(len(a) for a in bs)
+            yield pd.DataFrame(
+                [row_fn(base64.b64encode(payload).decode("ascii"), cnt)])
+
+    return urls_df.mapInPandas(partial, out_schema)
+
+
+def decode_entry_payload(raw: bytes, count: int):
+    """Inverse of the :func:`cuckoo_shard_rows` payload framing."""
+    buckets = np.frombuffer(raw[:8 * count], dtype=np.int64)
+    fps = np.frombuffer(raw[8 * count:8 * count + 2 * count],
+                        dtype=np.uint16)
+    return buckets, fps
 
 
 def build_cuckoo(seen_urls: DataFrame, col="url",

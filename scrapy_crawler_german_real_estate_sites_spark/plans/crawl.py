@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import cuckoo as cuckoo_ops
 from ..operators import politeness, seen as seen_ops
 from ..operators.parse_batch import explode_links, parse_pages
 from .simulator import DEFAULT_ITEM_BUDGET, ITEM_BUDGETS, DUP_STREAK_LIMIT
@@ -387,6 +388,14 @@ class CrawlEngine:
         iter_seconds: float = 1e6,  # default: politeness-unbounded waves
         token_scale: float = 1.0,
         use_bloom: bool = True,
+        seen_filter: str = None,  # "bloom" (default) | "cuckoo" | "exact".
+        #   The sketch that pre-filters the exact seen anti-join.  "cuckoo"
+        #   (operators/cuckoo.py, Fan et al. 2014) is the north_rule's
+        #   DELETABLE variant: purge_seen() removes dead URLs from the
+        #   sketch IN PLACE (no 10^10-row rebuild) so a re-discovered URL
+        #   is re-crawled; the bloom can only forget by rebuilding.
+        #   None -> "bloom" if use_bloom else "exact" (back-compat; the
+        #   parity suites' default path is byte-identical).
         item_budgets: dict = None,
         checkpoint_every: int = 0,  # 0 = no parquet checkpoints
         epoch: int = 0,  # D7 run generation (immowelt progressCounter):
@@ -425,6 +434,8 @@ class CrawlEngine:
         self.iter_seconds = iter_seconds
         self.token_scale = token_scale
         self.use_bloom = use_bloom
+        self.seen_filter = seen_filter or ("bloom" if use_bloom else "exact")
+        assert self.seen_filter in ("bloom", "cuckoo", "exact")
         self.checkpoint_every = checkpoint_every
         self.track_order = track_order
         self.epoch = int(epoch)
@@ -582,6 +593,11 @@ class CrawlEngine:
         self.seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self._seen_unfolded = 0
         self.bloom = seen_ops.BloomFilter()
+        # 2^19 buckets x 4 slots x 2B = 4 MB table (~2M fingerprints at
+        # 95% load, ample for the sandbox SFs); at 10^10 URLs this is one
+        # shard per netloc bucket exactly like the bloom.
+        self.cuckoo = (cuckoo_ops.CuckooFilter(n_buckets=1 << 19)
+                       if self.seen_filter == "cuckoo" else None)
         self.tagged = self._tag(pending0, 0).localCheckpoint(eager=True)
         self.logs = {k: [] for k in ("fetch", "dup_skips")}
         self._trash = []
@@ -819,16 +835,29 @@ class CrawlEngine:
         # coalesce (no shuffle, keeps url-disjointness) bounds the shard
         # count — with 4x-core shuffle partitions the collect would move
         # partitions x 2 MB of bitmap per wave otherwise
-        ins_shards = seen_ops.bloom_shard_rows(
-            inserts.select("url").distinct().coalesce(8),
-            self.bloom.m, self.bloom.k,
-            "rec string, seed_id string, doc_json string, "
-            "partition_id int, parsed long, items long",
-            lambda b64, cnt: {
-                "rec": "blm", "seed_id": None, "doc_json": b64,
-                "partition_id": None, "parsed": cnt, "items": None,
-            },
-        )
+        shard_schema = ("rec string, seed_id string, doc_json string, "
+                        "partition_id int, parsed long, items long")
+        if self.seen_filter == "cuckoo":
+            # compact (bucket, fp) entries instead of bitmaps: 10 B/URL,
+            # still never URL strings; the driver re-inserts (and can
+            # later DELETE the same entries in place — purge_seen)
+            ins_shards = cuckoo_ops.cuckoo_shard_rows(
+                inserts.select("url").distinct().coalesce(8),
+                self.cuckoo.n_buckets, self.cuckoo.slots, shard_schema,
+                lambda b64, cnt: {
+                    "rec": "ckf", "seed_id": None, "doc_json": b64,
+                    "partition_id": None, "parsed": cnt, "items": None,
+                },
+            )
+        else:
+            ins_shards = seen_ops.bloom_shard_rows(
+                inserts.select("url").distinct().coalesce(8),
+                self.bloom.m, self.bloom.k, shard_schema,
+                lambda b64, cnt: {
+                    "rec": "blm", "seed_id": None, "doc_json": b64,
+                    "partition_id": None, "parsed": cnt, "items": None,
+                },
+            )
         part_stats = []
         n_inserted = 0
         for r in state_rows.unionByName(stat_rows).unionByName(ins_shards).collect():
@@ -836,6 +865,11 @@ class CrawlEngine:
                 self.state[r.seed_id].update(json.loads(r.doc_json))
             elif r.rec == "pstat":
                 part_stats.append(r)
+            elif r.rec == "ckf":
+                buckets, fps = cuckoo_ops.decode_entry_payload(
+                    base64.b64decode(r.doc_json), int(r.parsed))
+                self.cuckoo.merge_entries(buckets, fps)
+                n_inserted += int(r.parsed)
             else:
                 self.bloom.merge_bytes(base64.b64decode(r.doc_json))
                 n_inserted += int(r.parsed)
@@ -880,8 +914,10 @@ class CrawlEngine:
             "norm_url", F.substring_index(F.col("url"), "?", 1)
         )
         seen_df = self.seen
-        if self.use_bloom:
+        if self.seen_filter == "bloom":
             cand = seen_ops.with_bloom_flag(cand, self.bloom)
+        elif self.seen_filter == "cuckoo":
+            cand = cuckoo_ops.with_cuckoo_flag(cand, self.cuckoo)
         # reference dup rule (database.py:88-98): candidate is a dup iff an
         # item with EXACTLY url==strip(candidate) was inserted before the
         # parent page's parse (FIFO position), or by another seed / a
@@ -902,7 +938,7 @@ class CrawlEngine:
             (F.col("s.seed_id") != F.col("c.seed_id"))
             | (F.col("s.fifo_seq") < F.col("c.parent_fifo_seq"))
         )
-        if self.use_bloom:
+        if self.seen_filter != "exact":
             dup_cond = dup_cond & F.col("c.maybe_seen")
         new_links = cand.alias("c").join(
             seen_df.alias("s"), dup_cond, "left_anti"
@@ -1126,8 +1162,64 @@ class CrawlEngine:
             pending.select([f.name for f in PENDING_SCHEMA.fields]),
             self.iteration,
         ).localCheckpoint(eager=True)
-        # distributed bloom rebuild: per-partition bitmap shards OR-merged
-        # at the driver (O(partitions) collect) — NOT a collect of every
-        # seen URL, which is O(inserted URLs) driver memory/time and cannot
-        # work at the 10^10-URL north-star scale
-        self.bloom = seen_ops.build_bloom(self.seen.select("url"))
+        # distributed sketch rebuild: per-partition shards merged at the
+        # driver (O(partitions) collect for bloom bitmaps, O(entries)
+        # compact rows for cuckoo) — NOT a collect of every seen URL,
+        # which is O(inserted URLs) driver memory/time and cannot work at
+        # the 10^10-URL north-star scale
+        if self.seen_filter == "cuckoo":
+            self.cuckoo = cuckoo_ops.build_cuckoo(
+                self.seen.select("url"),
+                n_buckets=self.cuckoo.n_buckets, slots=self.cuckoo.slots)
+        else:
+            self.bloom = seen_ops.build_bloom(self.seen.select("url"))
+
+    def purge_seen(self, dead_urls: DataFrame, url_col: str = "url") -> int:
+        """Liveness/retention purge of the URL-seen set (the reference's
+        ``deleteItem`` + seen removal, ``database.py:125-129,27-37``):
+        dead URLs drop from BOTH the exact seen table and the membership
+        sketch, so a re-discovered URL is re-crawled.
+
+        With ``seen_filter="cuckoo"`` the sketch delete is IN PLACE —
+        partitions hash their dead URLs to compact (bucket, fp) entries
+        and the driver deletes those fingerprints (Fan et al. 2014's
+        headline over the bloom: no 10^10-row sketch rebuild).  With
+        "bloom" the sketch cannot forget, so the bloom is REBUILT from
+        the surviving seen set — the O(seen) cost the cuckoo path avoids.
+        Deletion is restricted to URLs actually present in the seen set
+        (the cuckoo deletion precondition: deleting a never-inserted item
+        could evict a colliding fingerprint), and removes ONE fingerprint
+        copy per URL — multiset semantics per Fan et al. §3.2.  A URL
+        inserted in two different waves (possible via dup-check-exempt
+        re-fetches; rare) keeps one advisory copy, which only adds
+        vanishing FP pressure: the exact seen table is the truth, so
+        re-crawl decisions stay exact either way.  Returns the number of
+        sketch entries deleted (cuckoo) or -1 (bloom/exact)."""
+        dead = dead_urls.select(F.col(url_col).alias("url")).distinct()
+        # semi-join BEFORE the seen update: the sketch must only delete
+        # fingerprints it actually holds
+        dead_in_seen = dead.join(
+            self.seen.select("url").distinct(), "url", "semi"
+        ).localCheckpoint(eager=True)
+        self.seen = self.seen.join(
+            F.broadcast(dead_in_seen), "url", "left_anti"
+        ).localCheckpoint(eager=True)
+        self._seen_unfolded = 0
+        if self.seen_filter == "cuckoo":
+            shard_schema = ("rec string, seed_id string, doc_json string, "
+                            "partition_id int, parsed long, items long")
+            n = 0
+            for row in cuckoo_ops.cuckoo_shard_rows(
+                    dead_in_seen.coalesce(8), self.cuckoo.n_buckets,
+                    self.cuckoo.slots, shard_schema,
+                    lambda b64, cnt: {
+                        "rec": "ckf", "seed_id": None, "doc_json": b64,
+                        "partition_id": None, "parsed": cnt, "items": None,
+                    }).collect():
+                buckets, fps = cuckoo_ops.decode_entry_payload(
+                    base64.b64decode(row.doc_json), int(row.parsed))
+                n += self.cuckoo.delete_entries(buckets, fps)
+            return n
+        if self.seen_filter == "bloom":
+            self.bloom = seen_ops.build_bloom(self.seen.select("url"))
+        return -1
