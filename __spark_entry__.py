@@ -90,88 +90,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational operator queries (testdata; strong oracles)
 # ---------------------------------------------------------------------------
 
-def q_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(
-                    (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                ).cast("double"),
-                4,
-            ).alias("sum_disc_price"),
-            F.round(
-                (F.sum(dec("l_quantity")) / F.count("*")).cast("double"), 4
-            ).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-SQL_PRICING = """
-SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) / count(*) AS DOUBLE), 4) AS avg_qty,
-       count(*) AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-"""
-
-
-def q_nation_revenue(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
-            ).alias("revenue"),
-            F.count("*").alias("orders_cnt"),
-        )
-    )
-
-
-SQL_NATION_REVENUE = """
-SELECT n_name,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
-       count(*) AS orders_cnt
-FROM orders JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
-"""
-
-
-def q_top_orders_per_cust(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
-    )
-
-
-SQL_TOP_ORDERS = """
-SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-  FROM orders) WHERE rnk <= 3
-"""
-
-
 def q_sorted_scan_limit(spark, sf_dir):
     # A4 (database.py:107-110): sorted scan + limit 50
     o = _t(spark, sf_dir, "orders")
@@ -520,28 +438,6 @@ SELECT lang, count(*) AS pages,
             AS BIGINT) AS hosts
 FROM read_parquet('{_fp("pages")}')
 GROUP BY lang
-"""
-
-
-def q_politeness_window(spark, sf_dir):
-    # P1: per-netloc token bucket as a window prefix (first 5 by capture ts)
-    p = _fx(spark, sf_dir, "pages")
-    w = Window.partitionBy("netloc").orderBy("warc_ts", "url")
-    return (
-        p.select(
-            F.regexp_extract("url", _NETLOC_RE, 1).alias("netloc"), "url", "warc_ts"
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-    )
-
-
-SQL_POLITENESS = f"""
-SELECT netloc, url, warc_ts, rn FROM (
-  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS netloc, url, warc_ts,
-         row_number() OVER (PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
-                            ORDER BY warc_ts, url) AS rn
-  FROM read_parquet('{_fp("pages")}')) WHERE rn <= 5
 """
 
 
@@ -2860,21 +2756,29 @@ FROM cand c LEFT JOIN surviving s ON c.url = s.url
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is CURATED, not historical.
+    """Registry order is CURATED, not historical — standing rotation
+    policy (round-5 verdict item #2):
 
-    The round driver's correctness harness checks (at most) the first 50
-    keys — CORRECTNESS_r03 covered exactly the first 50 of the then-64
-    registry, leaving the 14 newest queries driver-unverified.  So the
-    first 50 entries below are the representative set: every operator
+    * the round driver's correctness harness checks (at most) the FIRST
+      50 keys, so every query NEW in round N is placed inside round N's
+      window;
+    * demotions below the window marker always hold a green
+      (rows+schema+hash) row on an EARLIER driver board — round 5
+      demotes sorted_scan_limit, event_quantiles, dedup_normalized,
+      embedding_neardup, stratified_sample, temperature_mix (all green
+      on CORRECTNESS_r04) to make room for the five round-4 queries
+      (green only under local check_oracles until now) plus the new
+      round-5 seen_cuckoo;
+    * redundant entries are RETIRED outright (round 5: the TPC-H trio
+      pricing_summary / nation_revenue / top_orders_per_cust — generic
+      warm-ups with no SURVEY §2 row — and politeness_window, a window
+      proxy strictly subsumed by politeness_select, the actual
+      operator).
+
+    The first 50 entries are the representative set: every operator
     family from SURVEY.md §2 plus every LLM-pipeline operator has a row
-    inside the window.  The 14 entries AFTER the window marker are
-    demoted, not retired: each already holds a green (rows+schema+hash)
-    row on an earlier driver board (CORRECTNESS_r01–r03) and is either a
-    TPC-H warm-up, a generic event-analytics add-on, a superseded proxy
-    (politeness_window ⊂ politeness_select), or family-redundant
-    (embedding_ann_pq ⊂ embedding_ann_ivfpq; host_graph vs
-    link_pagerank/anchor_text; dedup_ngram_jaccard vs dedup_minhash_lsh).
-    `tools/check_oracles.py` still verifies all 64 locally.
+    inside the window.  `tools/check_oracles.py` still verifies the
+    full registry locally.
     """
     return {
         # --- crawl core (S/F/D/P/E/J families) -----------------------
@@ -2889,10 +2793,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_cities": q_sitemap_cities,
         "alerts": q_alerts,
         "retention_candidates": q_retention_candidates,
-        # --- scan/agg representatives --------------------------------
-        "sorted_scan_limit": q_sorted_scan_limit,
+        # --- round-4/5 crawl-infrastructure queries ------------------
+        "sitemap_ingest": q_sitemap_ingest,
+        "url_canonicalize": q_url_canonicalize,
+        "recrawl_schedule": q_recrawl_schedule,
+        "content_sniff": q_content_sniff,
+        "host_pagerank": q_host_pagerank,
+        "seen_cuckoo": q_seen_cuckoo,
+        # --- scan/agg representative ---------------------------------
         "event_time_stats": q_event_time_stats,
-        "event_quantiles": q_event_quantiles,
         # --- sources / sketches / graph / temporal -------------------
         "multimodal_stub": q_multimodal_stub,
         "warc_ingest": q_warc_ingest,
@@ -2908,11 +2817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_normalized": q_dedup_normalized,
         "line_dedup": q_line_dedup,
         "substring_dedup": q_substring_dedup,
         "semdedup": q_semdedup,
-        "embedding_neardup": q_embedding_neardup,
         # --- filters / text ops --------------------------------------
         "decontaminate": q_decontaminate,
         "quality_filter": q_quality_filter,
@@ -2929,33 +2836,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivfpq": q_embedding_ann_ivfpq,
         # --- sampling / mixing / packing -----------------------------
         "dataset_split": q_dataset_split,
-        "stratified_sample": q_stratified_sample,
         "domain_cap": q_domain_cap,
-        "temperature_mix": q_temperature_mix,
         "shard_pack": q_shard_pack,
         # --- end-to-end pipeline (50th = window edge) ----------------
         "corpus_clean": q_corpus_clean,
         # ==== entries below are OUTSIDE the driver's 50-row window ====
         # (each green on an earlier board; see docstring)
-        "pricing_summary": q_pricing_summary,
-        "nation_revenue": q_nation_revenue,
-        "top_orders_per_cust": q_top_orders_per_cust,
+        "sorted_scan_limit": q_sorted_scan_limit,
+        "event_quantiles": q_event_quantiles,
+        "dedup_normalized": q_dedup_normalized,
+        "embedding_neardup": q_embedding_neardup,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
         "orders_rollup": q_orders_rollup,
         "sessionize": q_sessionize,
         "asof_attribution": q_asof_attribution,
         "event_props": q_event_props,
         "change_detect": q_change_detect,
         "lang_freshness": q_lang_freshness,
-        "politeness_window": q_politeness_window,
         "weighted_sample": q_weighted_sample,
         "host_graph": q_host_graph,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_ann_pq": q_embedding_ann_pq,
-        "sitemap_ingest": q_sitemap_ingest,
-        "url_canonicalize": q_url_canonicalize,
-        "recrawl_schedule": q_recrawl_schedule,
-        "content_sniff": q_content_sniff,
-        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -2979,9 +2881,6 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass
     return {
-        "pricing_summary": SQL_PRICING,
-        "nation_revenue": SQL_NATION_REVENUE,
-        "top_orders_per_cust": SQL_TOP_ORDERS,
         "sorted_scan_limit": SQL_SORTED_SCAN,
         "event_time_stats": SQL_EVENT_STATS,
         "sessionize": SQL_SESSIONIZE,
@@ -2993,7 +2892,6 @@ def oracle_sql() -> dict[str, str]:
         "retention_candidates": SQL_RETENTION,
         "url_normalize": SQL_URL_NORMALIZE,
         "frontier_init": SQL_FRONTIER_INIT,
-        "politeness_window": SQL_POLITENESS,
         "politeness_select": SQL_POLITENESS_SELECT,
         "lang_freshness": SQL_LANG_FRESHNESS,
         "viertel_index": SQL_VIERTEL,
@@ -3053,4 +2951,5 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": _sql_recrawl_schedule(),
         "content_sniff": _sql_content_sniff(),
         "host_pagerank": _sql_host_pagerank(),
+        "seen_cuckoo": _sql_seen_cuckoo(),
     }

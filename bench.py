@@ -25,9 +25,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # analytics queries to time (subset with scale-relevant shapes)
 BENCH_QUERIES = [
-    "pricing_summary",
-    "nation_revenue",
-    "top_orders_per_cust",
+    "sitemap_ingest",
+    "url_canonicalize",
+    "recrawl_schedule",
+    "content_sniff",
+    "host_pagerank",
+    "seen_cuckoo",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -132,7 +135,7 @@ def main():
     # settle the session before the per-query timings: a full GC drains the
     # crawl's tenured garbage (56g heap — the first analytics query
     # otherwise absorbs a multi-second mixed-GC storm; measured 24s vs ~1s
-    # standalone for pricing_summary at sf0.1), and one throwaway
+    # standalone for the first timed query at sf0.1), and one throwaway
     # shuffle+agg job re-warms codegen so query timings measure the
     # queries, not the JIT.
     spark.sparkContext._jvm.System.gc()

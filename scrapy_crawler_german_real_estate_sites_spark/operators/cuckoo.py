@@ -184,23 +184,31 @@ class CuckooFilter:
         """Delete by compact (primary-bucket, fp) entries — the
         distributed purge path: partitions hash their dead URLs to
         entries (:func:`cuckoo_shard_rows`), the driver deletes in place.
-        Same per-entry semantics as :meth:`delete_many`."""
-        i2 = self._alt(np.asarray(buckets, np.int64),
-                       np.asarray(fps, np.uint16))
+        Vectorized like :meth:`merge_entries` (one matching slot cleared
+        per entry; one winner per bucket per pass so two same-fp dead
+        entries clear two distinct copies); stash fallback per entry."""
+        b1 = np.asarray(buckets, np.int64)
+        f = np.asarray(fps, np.uint16)
+        if not len(b1):
+            return 0
+        b2 = self._alt(b1, f)
+        done = np.zeros(len(b1), dtype=bool)
         deleted = 0
-        for a, b, f in zip(buckets, i2, fps):
-            f = np.uint16(f)
-            done = False
-            for bucket in (int(a), int(b)):
-                slot = np.nonzero(self.table[bucket] == f)[0]
-                if len(slot):
-                    self.table[bucket, slot[0]] = 0
-                    deleted += 1
-                    done = True
-                    break
-            if not done and self.stash:
+        for s in range(self.slots):
+            for target in (b1, b2):
+                cand = np.nonzero(~done
+                                  & (self.table[target, s] == f))[0]
+                if not len(cand):
+                    continue
+                _, first = np.unique(target[cand], return_index=True)
+                win = cand[first]
+                self.table[target[win], s] = 0
+                done[win] = True
+                deleted += len(win)
+        if self.stash and not done.all():
+            for a, b, x in zip(b1[~done], b2[~done], f[~done]):
                 for j, (sb, sf) in enumerate(self.stash):
-                    if sf == int(f) and sb in (int(a), int(b)):
+                    if sf == int(x) and sb in (int(a), int(b)):
                         self.stash.pop(j)
                         deleted += 1
                         break
@@ -221,8 +229,32 @@ class CuckooFilter:
         return b, f
 
     def merge_entries(self, buckets: np.ndarray, fps: np.ndarray) -> int:
-        return sum(self._insert_entry(int(b), int(f))
-                   for b, f in zip(buckets, fps))
+        """Bulk re-insert of compact entries — vectorized greedy passes
+        (slot s × {primary, alt} bucket: every still-unplaced entry whose
+        target slot is empty claims it, one winner per bucket per pass),
+        then the spec kick-chain path for the tiny remainder.  The
+        per-entry Python loop this replaces cost ~30 µs/entry — a
+        100 TB-scale seen set merges millions of entries per resume."""
+        b1 = np.asarray(buckets, np.int64)
+        f = np.asarray(fps, np.uint16)
+        if not len(b1):
+            return 0
+        b2 = self._alt(b1, f)
+        placed = np.zeros(len(b1), dtype=bool)
+        for s in range(self.slots):
+            for target in (b1, b2):
+                cand = np.nonzero(~placed
+                                  & (self.table[target, s] == 0))[0]
+                if not len(cand):
+                    continue
+                _, first = np.unique(target[cand], return_index=True)
+                win = cand[first]
+                self.table[target[win], s] = f[win]
+                placed[win] = True
+        n = int(placed.sum())
+        n += sum(self._insert_entry(int(a), int(x))
+                 for a, x in zip(b1[~placed], f[~placed]))
+        return n
 
     def to_bytes(self) -> bytes:
         """table bytes + trailing stash entries (10 bytes each: int64

@@ -119,7 +119,7 @@ def test_topk_is_take_ordered(plans, name):
     )
 
 
-@pytest.mark.parametrize("name", ["top_orders_per_cust", "text_repetition"])
+@pytest.mark.parametrize("name", ["text_repetition"])
 def test_rank_filter_uses_window_group_limit(plans, name):
     assert "WindowGroupLimit" in plans[name], (
         f"{name}: rank<=k filter not pushed into the window (group limit)"
