@@ -1421,12 +1421,16 @@ SELECT q_id, vec_id, rank, d2 FROM (
 
 
 def q_embedding_ann_ivfpq(spark, sf_dir):
-    """IVF + PQ composed (similarity.py:ivfadc_topk — the faiss-IVFPQ
-    dataflow): the coarse quantizer prunes WHICH vectors each query scores
-    (nprobe=3 of 8 shards), PQ codes shrink WHAT a candidate reads (8
-    bytes, never floats), exact re-rank of the top-50 refines.  The oracle
-    composes BOTH unrolled Lloyd steps (coarse c0→c1 and per-subspace
-    pc0→pc1); 6dp rounding before every rank/compare in both engines."""
+    """IVF + PQ composed (similarity.py:ivfadc_topk — the faiss-IVFADC
+    dataflow, Jégou et al. 2011 §IV.A): the coarse quantizer prunes WHICH
+    vectors each query scores (nprobe=3 of 8 shards), PQ codes over the
+    COARSE RESIDUALS v − c(v) shrink WHAT a candidate reads (8 bytes,
+    never floats; one query distance table per probed cell), exact
+    re-rank of the top-50 in the family metric (cosine) refines.  The
+    oracle composes BOTH unrolled Lloyd steps (coarse c0→c1 and
+    per-subspace pc0→pc1) plus the residual algebra
+    (list_zip/list_transform); 6dp rounding before every rank/compare in
+    both engines."""
     from scrapy_crawler_german_real_estate_sites_spark.operators.similarity import (
         ivfadc_topk,
     )
@@ -1466,12 +1470,17 @@ a1 AS MATERIALIZED (
                    PARTITION BY v.vec_id
                    ORDER BY round(list_distance(v.v, c1.cv)^2, 6), c1.cid) AS rn
         FROM v, c1) WHERE rn = 1),
+resid AS MATERIALIZED (
+    -- faiss-IVFADC proper: PQ quantizes the coarse residual v - c1(cid)
+    SELECT a1.vec_id, a1.cid,
+           list_transform(list_zip(v.v, c1.cv), x -> x[1] - x[2]) AS rv
+    FROM a1 JOIN v USING (vec_id) JOIN c1 USING (cid)),
 sub AS MATERIALIZED (
-    SELECT vec_id, g.s AS s, v[g.s*8+1 : g.s*8+8] AS sv
-    FROM v, unnest(generate_series(0, 7)) AS g(s)),
+    SELECT vec_id, g.s AS s, rv[g.s*8+1 : g.s*8+8] AS sv
+    FROM resid, unnest(generate_series(0, 7)) AS g(s)),
 pc0 AS MATERIALIZED (
     SELECT s, vec_id AS code, sv AS cv FROM sub
-    WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+    WHERE vec_id IN (SELECT vec_id FROM resid ORDER BY vec_id LIMIT 16)),
 pa0 AS MATERIALIZED (
     SELECT vec_id, s, sv, code FROM (
         SELECT sub.vec_id, sub.s, sub.sv, pc0.code,
@@ -1500,18 +1509,25 @@ probes AS MATERIALIZED (
                    PARTITION BY q.q_id
                    ORDER BY round(list_distance(q.qv, c1.cv)^2, 6), c1.cid) AS rn
         FROM q, c1) WHERE rn <= 3),
+qresid AS MATERIALIZED (
+    -- one query residual PER PROBED CELL
+    SELECT p.q_id, p.cid,
+           list_transform(list_zip(q.qv, c1.cv), x -> x[1] - x[2]) AS qrv
+    FROM probes p JOIN q USING (q_id) JOIN c1 USING (cid)),
 qsub AS MATERIALIZED (
-    SELECT q_id, g.s AS s, qv[g.s*8+1 : g.s*8+8] AS qsv
-    FROM q, unnest(generate_series(0, 7)) AS g(s)),
+    SELECT q_id, cid, g.s AS s, qrv[g.s*8+1 : g.s*8+8] AS qsv
+    FROM qresid, unnest(generate_series(0, 7)) AS g(s)),
 dtab AS MATERIALIZED (
-    SELECT qsub.q_id, pc1.s, pc1.code, list_distance(qsub.qsv, pc1.cv)^2 AS d2
+    SELECT qsub.q_id, qsub.cid, pc1.s, pc1.code,
+           list_distance(qsub.qsv, pc1.cv)^2 AS d2
     FROM qsub JOIN pc1 ON qsub.s = pc1.s),
 scored AS (
     SELECT p.q_id, codes.vec_id, round(sum(d.d2), 6) AS approx_d2
     FROM codes
     JOIN a1 ON a1.vec_id = codes.vec_id
     JOIN probes p ON p.cid = a1.cid
-    JOIN dtab d ON d.q_id = p.q_id AND d.s = codes.s AND d.code = codes.code
+    JOIN dtab d ON d.q_id = p.q_id AND d.cid = p.cid
+               AND d.s = codes.s AND d.code = codes.code
     WHERE codes.vec_id <> p.q_id
     GROUP BY p.q_id, codes.vec_id),
 cand AS (
@@ -1521,12 +1537,15 @@ cand AS (
                                   ORDER BY approx_d2, vec_id) AS rank
         FROM scored) WHERE rank <= 50),
 exact AS (
-    SELECT c.q_id, c.vec_id, round(list_distance(qv.v, cv.v)^2, 6) AS d2
+    -- re-rank in the family metric (cosine), like ivf_topk/cosine_topk
+    SELECT c.q_id, c.vec_id,
+           round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
     FROM cand c JOIN v qv ON qv.vec_id = c.q_id
                 JOIN v cv ON cv.vec_id = c.vec_id)
-SELECT q_id, vec_id, rank, d2 FROM (
-    SELECT q_id, vec_id, d2,
-           row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rank
+SELECT q_id, vec_id, rank, cosine FROM (
+    SELECT q_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id)
+             AS rank
     FROM exact) WHERE rank <= 5
 """
 

@@ -328,17 +328,27 @@ def pq_topk(
 def ivfadc_topk(
     corpus: DataFrame, queries: DataFrame, k=5,
     ncentroids=8, nprobe=3, m=8, ksub=16, subdim=8, rerank=None,
+    encode_residuals=True, pq_refine=1,
     id_col="vec_id", vec_col="embedding", q_id_col="q_id", q_vec_col="q_vec",
 ) -> DataFrame:
     """IVF + PQ composed — the faiss-IVFPQ dataflow: the coarse quantizer
     prunes WHICH vectors each query scores (``nprobe``/``ncentroids`` of
     the corpus), product-quantization codes shrink WHAT a scored
     candidate reads (m small ints, never the floats), and ``rerank=R``
-    refines the top ADC candidates with exact d².  One honest
-    simplification vs faiss: codes quantize the RAW vectors, not the
-    coarse residuals — residual encoding buys accuracy at small ksub but
-    doubles the codebook machinery; the exact re-rank recovers the recall
-    here (and is itself standard faiss practice).
+    refines the top ADC candidates with exact d².
+
+    ``encode_residuals=True`` (default, the faiss IVFADC proper —
+    Jégou et al. 2011 §IV.A): codes quantize the COARSE RESIDUAL
+    ``v − centroid(v)`` instead of the raw vector.  On clustered data
+    the residuals share a common (near-zero-mean) distribution across
+    cells, so the ksub codewords spend their capacity on within-cell
+    structure rather than re-describing the cell offsets — the standard
+    recall fix the round-4 Zipf fixture quantified (IVFADC .755 raw vs
+    IVF .903).  The query side then builds one distance table PER PROBED
+    CELL from the query residual ``q − centroid(cell)`` — the extra
+    machinery residual encoding costs (×nprobe table rows, still an
+    O(nprobe·m·ksub) broadcast).  ``False`` keeps the raw-vector
+    variant for comparison.
 
     Scale shape = the union of its parts: centroids and codebooks are
     O(ncentroids + m·ksub) broadcasts; the corpus-side state is the codes
@@ -350,9 +360,28 @@ def ivfadc_topk(
     assigned, cents = assign_centroids(
         corpus, ncentroids=ncentroids, id_col=id_col, vec_col=vec_col
     )
-    codes, books = pq_encode(corpus, m, ksub, subdim, id_col, vec_col)
-    # corpus index: coarse shard + PQ codes, one equi join, built once
-    coded = codes.join(assigned.select("vec_id", "cid"), "vec_id")
+    vv0 = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if encode_residuals:
+        resid = (
+            vv0.join(assigned.select("vec_id", "cid"), "vec_id")
+            .join(F.broadcast(cents), "cid")
+            .select(
+                "vec_id", "cid",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        codes, books = pq_encode(resid, m, ksub, subdim, "vec_id", "rv",
+                                 refine=pq_refine)
+        coded = codes.join(resid.select("vec_id", "cid"), "vec_id")
+    else:
+        codes, books = pq_encode(corpus, m, ksub, subdim, id_col, vec_col,
+                                 refine=pq_refine)
+        # corpus index: coarse shard + PQ codes, one equi join, built once
+        coded = codes.join(assigned.select("vec_id", "cid"), "vec_id")
 
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
@@ -371,20 +400,49 @@ def ivfadc_topk(
         .where(F.col("rn") <= nprobe)
         .select("q_id", "cid")
     )
-    qsub = _subvectors(queries, m, subdim, q_id_col, q_vec_col).select(
-        F.col("vec_id").alias("q_id"), "s", F.col("sv").alias("qsv")
-    )
-    dtab = qsub.join(F.broadcast(books), "s").select(
-        "q_id", "s", "code",
-        F.aggregate(
-            F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ).alias("d2"),
-    )
+    if encode_residuals:
+        # one distance table per (query, probed cell), over the QUERY
+        # RESIDUAL for that cell — O(queries·nprobe·m·ksub) rows
+        qr = (
+            probes.join(q, "q_id")
+            .join(F.broadcast(cents), "cid")
+            .select(
+                "q_id", "cid",
+                F.zip_with("qv", "cv", lambda a, b: a - b).alias("qrv"),
+            )
+        )
+        qsub = qr.select(
+            "q_id", "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            "qrv",
+        ).select(
+            "q_id", "cid", "s",
+            F.slice("qrv", F.col("s") * subdim + 1, subdim).alias("qsv"),
+        )
+        dtab = qsub.join(F.broadcast(books), "s").select(
+            "q_id", "cid", "s", "code",
+            F.aggregate(
+                F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        dtab_keys = ["q_id", "cid", "s", "code"]
+    else:
+        qsub = _subvectors(queries, m, subdim, q_id_col, q_vec_col).select(
+            F.col("vec_id").alias("q_id"), "s", F.col("sv").alias("qsv")
+        )
+        dtab = qsub.join(F.broadcast(books), "s").select(
+            "q_id", "s", "code",
+            F.aggregate(
+                F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        dtab_keys = ["q_id", "s", "code"]
     scored = (
         coded.join(F.broadcast(probes), "cid")
         .where(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(dtab), ["q_id", "s", "code"])
+        .join(F.broadcast(dtab), dtab_keys)
         .groupBy("q_id", "vec_id")
         .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
     )
@@ -399,23 +457,26 @@ def ivfadc_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # exact re-rank in the FAMILY metric (cosine, like cosine_topk /
+    # ivf_topk — the ADC stage prunes in L2, PQ's natural space, but the
+    # final ranking must match the metric the exact searchers use; an L2
+    # re-rank against cosine semantics caps recall at the metric-mismatch
+    # ceiling, measured 0.845 on the Zipf fixture's unnormalized vectors)
     exact = (
         vv.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(q), "q_id")
         .select(
             "q_id", "vec_id",
             F.round(
-                F.aggregate(
-                    F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                ),
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))),
                 6,
-            ).alias("d2"),
+            ).alias("cosine"),
         )
     )
-    w3 = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    w3 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         exact.withColumn("rank", F.row_number().over(w3))
         .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", "d2")
+        .select("q_id", "vec_id", "rank", "cosine")
     )

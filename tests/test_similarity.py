@@ -203,7 +203,8 @@ def test_pq_rerank_matches_exact_topk(spark):
 
 def test_ivfadc_full_probe_full_rerank_equals_exact(spark):
     """With every shard probed and the whole corpus re-ranked, the IVFPQ
-    composition must reproduce the exact L2 top-k — pruning and
+    composition must reproduce the exact COSINE top-k (the family metric
+    the re-rank uses, like ivf_topk/cosine_topk) — pruning and
     quantization can then only reorder candidates the re-rank restores."""
     import numpy as np
 
@@ -225,9 +226,12 @@ def test_ivfadc_full_probe_full_rerank_equals_exact(spark):
     }
     V = {i: np.asarray(v) for i, v in rows}
     for qid, qv in rows[:5]:
+        qv = np.asarray(qv)
         d = sorted(
-            (round(float(np.sum((V[i] - np.asarray(qv)) ** 2)), 6), i)
-            for i in V if i != qid
+            ((-round(float(V[i] @ qv
+                           / (np.linalg.norm(V[i]) * np.linalg.norm(qv))),
+                     6), i)
+             for i in V if i != qid)
         )
         for rank, (_, i) in enumerate(d[:3], start=1):
             assert got[(qid, rank)] == i, (qid, rank)
@@ -336,21 +340,32 @@ def test_ivfadc_recall_on_clustered_fixture(spark, clustered_emb):
         ivfadc_topk,
     )
 
-    small = _clustered_recall(
-        spark, clustered_emb,
-        lambda emb, q: ivfadc_topk(emb, q, k=5, ncentroids=32, nprobe=6,
-                                   m=8, ksub=64, subdim=4, rerank=60),
-    )
-    big = _clustered_recall(
+    mid = _clustered_recall(
         spark, clustered_emb,
         lambda emb, q: ivfadc_topk(emb, q, k=5, ncentroids=32, nprobe=8,
                                    m=8, ksub=64, subdim=4, rerank=200),
     )
-    # measured 0.574 (rerank=60) -> 0.755 (rerank=200): recall scales with
-    # the rerank pool vs the head cluster's size (~800 members) — the
-    # documented head-cluster/ADC-tie tradeoff on Zipf data
-    assert big >= 0.70, f"IVFADC clustered recall@5 = {big}"
-    assert big > small, (big, small)
+    big = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: ivfadc_topk(emb, q, k=5, ncentroids=32, nprobe=12,
+                                   m=8, ksub=64, subdim=4, rerank=400),
+    )
+    big_raw = _clustered_recall(
+        spark, clustered_emb,
+        lambda emb, q: ivfadc_topk(emb, q, k=5, ncentroids=32, nprobe=12,
+                                   m=8, ksub=64, subdim=4, rerank=400,
+                                   encode_residuals=False),
+    )
+    # measured (round 5, residual encoding + family-metric cosine rerank):
+    # 0.877 at nprobe=8/rerank=200, 0.987 at nprobe=12/rerank=400 vs
+    # 0.974 raw-encoded at the same point.  The round-4 0.755 ceiling was
+    # the L2-rerank-vs-cosine-truth METRIC MISMATCH (exact-L2 top-5 vs
+    # cosine top-5 agrees only 0.845 on these unnormalized vectors), not
+    # a quantization limit — fixed by re-ranking in the family metric;
+    # residual encoding then buys the last points of pool quality.
+    assert mid >= 0.85, f"IVFADC clustered recall@5 = {mid}"
+    assert big >= 0.95, f"IVFADC clustered recall@5 (wide) = {big}"
+    assert big >= big_raw, (big, big_raw)
 
 
 def test_semdedup_collapses_zipf_clusters(spark, clustered_emb):
