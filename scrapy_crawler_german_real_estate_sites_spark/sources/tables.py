@@ -154,9 +154,14 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
               extra_conf=None) -> SparkSession:
     _ensure_pythonpath()
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_MASTER overrides the default local[cpus] — notably
+    # local-cluster[N,cores,memMB], the multi-executor-JVM mode used for
+    # the scaling-attribution control experiment (separate heaps on one
+    # box, the closest the sandbox gets to a real N->4N memory step).
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     b = (
         SparkSession.builder.appName(app)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -184,6 +189,7 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         # stalls at 24g with 32 task threads at sf0.1)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.session.timeZone", "UTC")
     )
     if table_format() == "iceberg":

@@ -93,3 +93,57 @@ def test_discovered_seeds_subset_of_sitemap_universe(spark, fix_tiny,
     blob = "".join(sm.column("xml").to_pylist())
     for r in spark.read.parquet(out).collect():
         assert f"<loc>{r.url}</loc>" in blob.replace("&amp;", "&"), r.url
+
+
+def test_discover_to_crawl_composition(spark, fix_tiny, tmp_path):
+    """VERDICT r4 item 7: the full discover → crawl composition.  Synth
+    robots + sitemaps → discover_job seeds → (url-join back to the seed
+    registry for portal metadata, the production enrich step) → a fixture
+    whose seeds are ONLY the discovered ones → CrawlEngine drains it to
+    non-empty listings that are a subset of the full run's."""
+    import contextlib
+    import io
+    import shutil
+
+    from jobs.discover_job import main
+
+    from scrapy_crawler_german_real_estate_sites_spark.plans.crawl import (
+        CrawlEngine,
+    )
+
+    out = str(tmp_path / "dseeds")
+    with contextlib.redirect_stdout(io.StringIO()):
+        main(["--fixture-dir", fix_tiny, "--out", out])
+    discovered = spark.read.parquet(out).select("url")
+
+    seeds_full = spark.read.parquet(os.path.join(fix_tiny, "seeds.parquet"))
+    seeds_disc = seeds_full.join(discovered, "url", "left_semi")
+    n_disc = seeds_disc.count()
+    assert 0 < n_disc < seeds_full.count()  # real subset, not everything
+
+    fix2 = str(tmp_path / "fix_discovered")
+    os.makedirs(fix2, exist_ok=True)
+    for name in os.listdir(fix_tiny):
+        src = os.path.join(fix_tiny, name)
+        dst = os.path.join(fix2, name)
+        if name == "seeds.parquet":
+            continue
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    seeds_disc.select([c for c in seeds_full.columns]).write.mode(
+        "overwrite").parquet(os.path.join(fix2, "seeds.parquet"))
+
+    eng = CrawlEngine(spark, fix2, hour=7)
+    summary = eng.run(max_waves=60)
+    assert summary["items"] > 0
+    got = {(r.seed_id, r.url) for r in
+           eng.items_df().where("item_kind is not null")
+           .select("seed_id", "url").collect()}
+    assert got
+
+    # subset sanity vs an unrestricted run over the SAME fixture pages
+    eng_full = CrawlEngine(spark, fix_tiny, hour=7)
+    eng_full.run(max_waves=60)
+    full = {(r.seed_id, r.url) for r in
+            eng_full.items_df().where("item_kind is not null")
+            .select("seed_id", "url").collect()}
+    assert got <= full and len(got) < len(full)
