@@ -190,6 +190,12 @@ def get_spark(app="spark-crawl-engine", cpus=None, shuffle_partitions=None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "56g"))
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # local-cluster mode: the master string's memMB is only the WORKER
+        # capacity — executors still default to 1g heap and OOM-loop on
+        # real tiers unless spark.executor.memory is set explicitly
+        .config("spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "13g")
+                if master.startswith("local-cluster") else "1g")
         .config("spark.sql.session.timeZone", "UTC")
     )
     if table_format() == "iceberg":
