@@ -62,8 +62,12 @@ PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
 # that no expression can express) — everything downstream must stay
 # native: test_warc.py's pure-map plan assertion covers warc_ingest, and
 # sitemap_ingest is the same shape (XML block unframing; its DuckDB
-# oracle proves the extraction itself cross-engine)
-ARROW_OK = {"warc_ingest", "sitemap_ingest"}
+# oracle proves the extraction itself cross-engine).  seen_cuckoo's one
+# Arrow pass is the vectorized cuckoo-table probe (with_cuckoo_flag) —
+# the SAME broadcast-sketch probe the engine's live seen path runs; the
+# exact verify join around it stays native and the oracle proves the
+# output exactly.
+ARROW_OK = {"warc_ingest", "sitemap_ingest", "seen_cuckoo"}
 
 
 def _plan(spark, name):
