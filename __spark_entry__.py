@@ -2736,7 +2736,14 @@ def q_seen_cuckoo(spark, sf_dir):
     pages = _fx(spark, sf_dir, "pages").select("url")
     seen = pages.where(F.length("url") % 3 != 0)
     purged = seen.where(F.length("url") % 5 == 0)
-    cf = build_cuckoo(seen, n_buckets=1 << 17)
+    # size the table from the data: next power of two holding the seen
+    # set under ~80% load (a fixed 2^17 overflows the stash at sf0.1+,
+    # and stash probes are O(stash) per batch — the resize IS the spec's
+    # answer to load, and it changes nothing semantically: the sketch is
+    # advisory, the verify join is the truth)
+    n_seen = seen.count()
+    n_buckets = 1 << max(17, (max(1, int(n_seen / 0.8)) // 4).bit_length())
+    cf = build_cuckoo(seen, n_buckets=n_buckets)
     # in-place purge: partitions hash dead URLs to compact (bucket, fp)
     # entries, the driver deletes those fingerprints — no rebuild
     for row in cuckoo_shard_rows(
