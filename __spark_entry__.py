@@ -2781,6 +2781,46 @@ FROM cand c LEFT JOIN surviving s ON c.url = s.url
 """
 
 
+def q_url_percent_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2.1–§6.2.2.2 percent-encoding normalization
+    (functions/urls.py:normalize_percent_encoding, the opt-in complement
+    to the syntax canonicalizer): deterministically percent-encode a
+    slice of every page URL's path with LOWERCASE hex (the same
+    expressions in both engines), then normalize — hex uppercased,
+    unreserved octets decoded back, reserved ones kept.  Cross-engine
+    hash equality proves all 78 chained rewrites match."""
+    from scrapy_crawler_german_real_estate_sites_spark.functions.urls import (
+        normalize_percent_encoding,
+    )
+
+    p = _fx(spark, sf_dir, "pages").select("url")
+    # mess it up: '/x' -> '%2f%78…' style — encode 'l' 'a' '/' 'e' as
+    # lowercase triplets (mixed unreserved + reserved)
+    messy = F.col("url")
+    for ch, code in (("l", "%6c"), ("a", "%61"), ("/", "%2f"), ("e", "%65")):
+        messy = F.replace(messy, F.lit(ch), F.lit(code))
+    messy = F.concat(F.lit("https://h.de/"), messy, F.lit("?q=%7e%3f"))
+    return p.select(
+        "url", messy.alias("messy"),
+        normalize_percent_encoding(messy).alias("norm"))
+
+
+def _sql_url_percent_normalize() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.functions.urls import (
+        sql_normalize_percent_encoding,
+    )
+
+    messy = "url"
+    for ch, code in (("l", "%6c"), ("a", "%61"), ("/", "%2f"), ("e", "%65")):
+        messy = f"replace({messy}, '{ch}', '{code}')"
+    messy = f"concat('https://h.de/', {messy}, '?q=%7e%3f')"
+    return f"""
+SELECT url, {messy} AS messy,
+       {sql_normalize_percent_encoding(messy)} AS norm
+FROM read_parquet('{_fp("pages")}')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED, not historical — standing rotation
     policy (round-5 verdict item #2):
@@ -2794,7 +2834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       embedding_neardup, stratified_sample, temperature_mix (all green
       on CORRECTNESS_r04) to make room for the five round-4 queries
       (green only under local check_oracles until now) plus the new
-      round-5 seen_cuckoo;
+      round-5 seen_cuckoo and url_percent_normalize (token_cms demoted
+      in its stead, sketch family keeps host_url_hll in-window);
     * redundant entries are RETIRED outright (round 5: the TPC-H trio
       pricing_summary / nation_revenue / top_orders_per_cust — generic
       warm-ups with no SURVEY §2 row — and politeness_window, a window
@@ -2826,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sniff": q_content_sniff,
         "host_pagerank": q_host_pagerank,
         "seen_cuckoo": q_seen_cuckoo,
+        "url_percent_normalize": q_url_percent_normalize,
         # --- scan/agg representative ---------------------------------
         "event_time_stats": q_event_time_stats,
         # --- sources / sketches / graph / temporal -------------------
@@ -2834,7 +2876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_hll": q_host_url_hll,
         "url_traps": q_url_traps,
         "boilerplate": q_boilerplate,
-        "token_cms": q_token_cms,
         "capture_diff": q_capture_diff,
         "link_pagerank": q_link_pagerank,
         "anchor_text": q_anchor_text,
@@ -2869,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== entries below are OUTSIDE the driver's 50-row window ====
         # (each green on an earlier board; see docstring)
         "sorted_scan_limit": q_sorted_scan_limit,
+        "token_cms": q_token_cms,
         "event_quantiles": q_event_quantiles,
         "dedup_normalized": q_dedup_normalized,
         "embedding_neardup": q_embedding_neardup,
@@ -2978,4 +3020,5 @@ def oracle_sql() -> dict[str, str]:
         "content_sniff": _sql_content_sniff(),
         "host_pagerank": _sql_host_pagerank(),
         "seen_cuckoo": _sql_seen_cuckoo(),
+        "url_percent_normalize": _sql_url_percent_normalize(),
     }

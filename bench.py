@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "content_sniff",
     "host_pagerank",
     "seen_cuckoo",
+    "url_percent_normalize",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

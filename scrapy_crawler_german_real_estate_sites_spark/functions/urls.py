@@ -21,9 +21,11 @@ as a whole-stage-codegen expression chain (no Python, no UDF):
   spec's loop (documented bound, ample for real URL depth);
 * empty query (trailing ``?``) dropped.
 
-NOT done (documented): percent-encoding case/unreserved normalization
-(needs per-octet rewriting — a table-driven Arrow UDF at deployment) and
-query-parameter reordering (semantics-changing on many sites).
+Percent-encoding case/unreserved normalization (§6.2.2.1–§6.2.2.2) is
+implemented as the separate opt-in :func:`normalize_percent_encoding`
+below (heavier chain, rarely needed before the seen probe).  NOT done
+(documented): query-parameter reordering (semantics-changing on many
+sites).
 
 Every step is a (pattern, replacement) pair built ONCE and rendered for
 both engines — Spark ``regexp_replace`` uses ``$1`` backreferences,
@@ -88,3 +90,51 @@ def sql_canonicalize_url(expr: str) -> str:
         path = f"regexp_replace({path}, '{p}', '{r}', 'g')"
     query = f"regexp_replace({query}, '^\\?$', '')"
     return f"concat({prefix}, {path}, {query})"
+
+
+# ---------------------------------------------------------------------------
+# percent-encoding normalization (RFC 3986 §6.2.2.1–§6.2.2.2) — the step
+# canonicalize_url documents as NOT included in its default chain.  Kept
+# separate and opt-in: it is ~78 chained literal/regex rewrites, which is
+# still whole-stage-codegen JVM work but meaningfully heavier than the
+# syntax chain, and crawl frontiers rarely need it before the seen probe.
+# ---------------------------------------------------------------------------
+
+_HEX_LC = "abcdef"
+# unreserved set (§2.3): ALPHA / DIGIT / "-" / "." / "_" / "~"
+_UNRESERVED = (
+    {f"%{ord(c):02X}": c for c in
+     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"}
+    | {"%2D": "-", "%2E": ".", "%5F": "_", "%7E": "~"}
+)
+
+
+def normalize_percent_encoding(col: Column) -> Column:
+    """§6.2.2.1: uppercase the hex digits of every percent-triplet
+    (``%3a`` → ``%3A``) — 12 per-digit regex passes (regex cannot
+    case-map a capture group, so each lowercase hex letter gets one pass
+    per position); then §6.2.2.2: decode the 66 unreserved octets
+    (``%41`` → ``A``) as literal replaces.  ``%25`` (the escaped ``%``)
+    is reserved and stays encoded, so decoding cannot create new
+    triplets.  Pure Catalyst expressions, DuckDB-mirrored below."""
+    x = col
+    for c in _HEX_LC:
+        x = F.regexp_replace(x, f"%{c}([0-9a-fA-F])", f"%{c.upper()}$1")
+    for c in _HEX_LC:
+        x = F.regexp_replace(x, f"%([0-9A-F]){c}", "%$1" + c.upper())
+    for code, ch in _UNRESERVED.items():
+        x = F.replace(x, F.lit(code), F.lit(ch))
+    return x
+
+
+def sql_normalize_percent_encoding(expr: str) -> str:
+    """The identical chain as a DuckDB expression (oracle mirror)."""
+    x = expr
+    for c in _HEX_LC:
+        x = f"regexp_replace({x}, '%{c}([0-9a-fA-F])', '%{c.upper()}\\1', 'g')"
+    for c in _HEX_LC:
+        x = f"regexp_replace({x}, '%([0-9A-F]){c}', '%\\1{c.upper()}', 'g')"
+    for code, ch in _UNRESERVED.items():
+        lit = ch.replace("'", "''")
+        x = f"replace({x}, '{code}', '{lit}')"
+    return x

@@ -70,3 +70,52 @@ def test_bounded_dot_iterations(canon):
     deeper = "https://h.de/" + "a/" * 9 + "../" * 9 + "z"
     (out,) = canon([deeper])
     assert out.startswith("https://h.de/")
+
+
+PCT_CASES = [
+    # §6.2.2.1 hex case: uppercase the triplet digits
+    ("https://h.de/a%3fb", "https://h.de/a%3Fb"),
+    ("https://h.de/%2fx%2F", "https://h.de/%2Fx%2F"),
+    ("https://h.de/%aa%ab%fa", "https://h.de/%AA%AB%FA"),
+    # §6.2.2.2 unreserved decode
+    ("https://h.de/%41%62%39", "https://h.de/Ab9"),
+    ("https://h.de/%7Efoo/%2d%2e%5f", "https://h.de/~foo/-._"),
+    # reserved stay encoded: %2F (/), %3F (?), %25 (%), %20 (space)
+    ("https://h.de/a%2Fb%3F%25%20c", "https://h.de/a%2Fb%3F%25%20c"),
+    # %25-escaped percent cannot cascade into a new decode
+    ("https://h.de/%2541", "https://h.de/%2541"),
+    # untouched plain urls
+    ("https://h.de/plain?q=1", "https://h.de/plain?q=1"),
+]
+
+
+def test_percent_normalization_known_answers(spark):
+    from scrapy_crawler_german_real_estate_sites_spark.functions.urls import (
+        normalize_percent_encoding,
+    )
+
+    df = spark.createDataFrame([(u,) for u, _ in PCT_CASES], "u string")
+    got = [r.c for r in df.select(
+        normalize_percent_encoding(df.u).alias("c")).collect()]
+    for (src, want), g in zip(PCT_CASES, got):
+        assert g == want, f"{src}: {g} != {want}"
+
+
+def test_percent_normalization_matches_duckdb(spark):
+    import duckdb
+
+    from scrapy_crawler_german_real_estate_sites_spark.functions.urls import (
+        normalize_percent_encoding,
+        sql_normalize_percent_encoding,
+    )
+
+    urls = [u for u, _ in PCT_CASES] + [
+        f"https://h.de/p%{a}{b}tail" for a in "0369cf" for b in "258be"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(
+        normalize_percent_encoding(df.u).alias("c")).collect()]
+    con = duckdb.connect()
+    expr = sql_normalize_percent_encoding("u")
+    want = [con.execute(f"SELECT {expr} FROM (SELECT ? AS u)", [u])
+            .fetchone()[0] for u in urls]
+    assert got == want
