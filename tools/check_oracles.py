@@ -92,6 +92,10 @@ def main(names=None):
             diff = (a != b)
             bad_cols = [c for c in a.columns if diff[c].any()] if len(a) == len(b) else []
             results[name] = f"VALUE MISMATCH cols={bad_cols} :: {str(e).splitlines()[-1][:200]}"
+    if not results:
+        known = ", ".join(qs)
+        print(f"no matching queries (asked: {names}); known: {known}")
+        return 1
     width = max(len(n) for n in results)
     fails = 0
     for n, r in results.items():
