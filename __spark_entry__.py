@@ -2821,6 +2821,56 @@ FROM read_parquet('{_fp("pages")}')
 """
 
 
+_RFC_DIS = ["/intern/", "/*.pdf$", "/li*g", "/x9$"]
+_RFC_ALW = ["/intern/pub*", "/li*gs/ok"]
+
+
+def q_robots_rules(spark, sf_dir):
+    """Full RFC 9309 §2.2.2 rule matching
+    (operators/politeness.py:robots_filter_rfc): '*' wildcards, trailing
+    '$' anchors, most-octets precedence, Allow wins ties — proven
+    cross-engine over every page URL (+ a '.pdf' variant per odd URL)
+    against a fixed wildcard rule set applied to every host."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        robots_filter_rfc,
+    )
+
+    pages = _fx(spark, sf_dir, "pages").select("url")
+    netloc = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    links = pages.select(netloc.alias("netloc"), "url").unionByName(
+        pages.where(F.length("url") % 2 == 1).select(
+            netloc.alias("netloc"),
+            F.concat("url", F.lit("/doc.pdf")).alias("url")))
+    robots = links.select("netloc").distinct().select(
+        "netloc",
+        F.array(*[F.lit(r) for r in _RFC_DIS]).alias("disallow_prefixes"),
+        F.array(*[F.lit(r) for r in _RFC_ALW]).alias("allow_prefixes"))
+    allowed, blocked = robots_filter_rfc(links, robots)
+    return (allowed.select("url", F.lit(False).alias("blocked"))
+            .unionByName(blocked.select("url", F.lit(True).alias("blocked"))))
+
+
+def _sql_robots_rules() -> str:
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        sql_best_match_len,
+    )
+
+    dis = "[" + ", ".join(f"'{r}'" for r in _RFC_DIS) + "]"
+    alw = "[" + ", ".join(f"'{r}'" for r in _RFC_ALW) + "]"
+    path = "regexp_replace(url, '^https?://[^/]+', '')"
+    return f"""
+WITH pages AS (SELECT url FROM read_parquet('{_fp("pages")}')),
+links AS (SELECT url FROM pages
+          UNION ALL
+          SELECT url || '/doc.pdf' AS url FROM pages
+          WHERE length(url) % 2 = 1)
+SELECT url,
+       coalesce({sql_best_match_len(dis, path)}, -1)
+         > coalesce({sql_best_match_len(alw, path)}, -1) AS blocked
+FROM links
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED, not historical — standing rotation
     policy (round-5 verdict item #2):
@@ -2834,8 +2884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       embedding_neardup, stratified_sample, temperature_mix (all green
       on CORRECTNESS_r04) to make room for the five round-4 queries
       (green only under local check_oracles until now) plus the new
-      round-5 seen_cuckoo and url_percent_normalize (token_cms demoted
-      in its stead, sketch family keeps host_url_hll in-window);
+      round-5 seen_cuckoo and url_percent_normalize and
+      robots_rules (token_cms and doc_chunk demoted in their stead —
+      sketch family keeps host_url_hll, text family keeps 7 rows);
     * redundant entries are RETIRED outright (round 5: the TPC-H trio
       pricing_summary / nation_revenue / top_orders_per_cust — generic
       warm-ups with no SURVEY §2 row — and politeness_window, a window
@@ -2868,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "seen_cuckoo": q_seen_cuckoo,
         "url_percent_normalize": q_url_percent_normalize,
+        "robots_rules": q_robots_rules,
         # --- scan/agg representative ---------------------------------
         "event_time_stats": q_event_time_stats,
         # --- sources / sketches / graph / temporal -------------------
@@ -2895,7 +2947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
-        "doc_chunk": q_doc_chunk,
         # --- search / ANN --------------------------------------------
         "bm25_search": q_bm25_search,
         "embedding_topk": q_embedding_topk,
@@ -2911,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (each green on an earlier board; see docstring)
         "sorted_scan_limit": q_sorted_scan_limit,
         "token_cms": q_token_cms,
+        "doc_chunk": q_doc_chunk,
         "event_quantiles": q_event_quantiles,
         "dedup_normalized": q_dedup_normalized,
         "embedding_neardup": q_embedding_neardup,
@@ -3021,4 +3073,5 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _sql_host_pagerank(),
         "seen_cuckoo": _sql_seen_cuckoo(),
         "url_percent_normalize": _sql_url_percent_normalize(),
+        "robots_rules": _sql_robots_rules(),
     }

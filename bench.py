@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "host_pagerank",
     "seen_cuckoo",
     "url_percent_normalize",
+    "robots_rules",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

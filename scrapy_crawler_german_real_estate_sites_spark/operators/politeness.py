@@ -169,6 +169,67 @@ def robots_filter(links: DataFrame, robots: DataFrame):
 
 
 # ---------------------------------------------------------------------------
+# P5 full RFC 9309 §2.2.2 rule matching — wildcards + longest-match
+# precedence.  The prefix filter above is the engine's hot-path default
+# (and mirrors the reference's effective behavior); this is the complete
+# spec semantics every major crawler implements: rules may contain ``*``
+# (any octet sequence) and a trailing ``$`` (end-of-path anchor), the
+# matching rule with the MOST OCTETS wins, and on a tie the least
+# restrictive (Allow) rule wins.
+# ---------------------------------------------------------------------------
+
+_RX_ESCAPE = list("\\.[]{}()+?^|")  # backslash FIRST; '*' and '$' special
+
+
+def _rule_regex(rule):
+    """robots path pattern (Column) → anchored regex string (Column),
+    shared Java∩RE2 output: specials escaped, ``*`` → ``.*``, a TRAILING
+    ``$`` kept as the end anchor (mid-pattern ``$`` is literal)."""
+    x = rule
+    for ch in _RX_ESCAPE:
+        x = F.replace(x, F.lit(ch), F.lit("\\" + ch))
+    x = F.replace(x, F.lit("$"), F.lit("\\$"))
+    # restore the trailing anchor ('$' in a Java replacement is a group
+    # ref, so it must itself be escaped there)
+    x = F.regexp_replace(x, r"\\\$$", "\\$")
+    x = F.replace(x, F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), x)
+
+
+def _best_match_len(rules, path):
+    """Longest matching rule's octet count (original rule text), NULL if
+    none match — array higher-order functions, no explode, no UDF."""
+    matched = F.filter(
+        F.coalesce(rules, F.array()),
+        lambda r: F.regexp_like(path, _rule_regex(r)),
+    )
+    return F.array_max(F.transform(matched, lambda r: F.length(r)))
+
+
+def robots_filter_rfc(links: DataFrame, robots: DataFrame):
+    """Full RFC 9309 verdict per link: blocked iff the longest matching
+    Disallow rule is strictly longer than the longest matching Allow rule
+    (no matching rule at all → allowed).  Same (allowed, blocked) shape
+    as :func:`robots_filter`; expects the robots table to carry BOTH
+    ``disallow_prefixes`` and ``allow_prefixes`` (as
+    ``operators/robotstxt.py:parse_robots`` emits)."""
+    l = links.join(
+        F.broadcast(robots.select(
+            "netloc", "disallow_prefixes", "allow_prefixes")),
+        "netloc", "left",
+    )
+    path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    dis = F.coalesce(_best_match_len(F.col("disallow_prefixes"), path),
+                     F.lit(-1))
+    alw = F.coalesce(_best_match_len(F.col("allow_prefixes"), path),
+                     F.lit(-1))
+    blocked_cond = dis > alw
+    drop = ["disallow_prefixes", "allow_prefixes"]
+    return (l.where(~blocked_cond).drop(*drop),
+            l.where(blocked_cond).drop(*drop))
+
+
+# ---------------------------------------------------------------------------
 # P3: AutoThrottle — latency-feedback delay controller
 # ---------------------------------------------------------------------------
 # The reference ENABLES AutoThrottle (settings.py:95-104:
@@ -253,3 +314,24 @@ def autothrottle_fold(
     new = dict(starts)
     new.update({r["netloc"]: r["delay_s"] for r in out})
     return new
+
+
+def sql_rule_regex(var: str) -> str:
+    """The :func:`_rule_regex` chain as a DuckDB expression over lambda
+    variable ``var`` (oracle mirror; same escape list, same anchor/
+    wildcard order)."""
+    x = var
+    for ch in _RX_ESCAPE:
+        e = ch.replace("'", "''")
+        x = f"replace({x}, '{e}', '\\{e}')"
+    x = f"replace({x}, '$', '\\$')"
+    x = f"regexp_replace({x}, '\\\\\\$$', '$')"
+    x = f"replace({x}, '*', '.*')"
+    return f"concat('^', {x})"
+
+
+def sql_best_match_len(rules_sql: str, path_sql: str) -> str:
+    """DuckDB mirror of :func:`_best_match_len` (NULL if none match)."""
+    return (f"list_max(list_transform(list_filter({rules_sql}, "
+            f"r -> regexp_matches({path_sql}, {sql_rule_regex('r')})), "
+            f"r -> length(r)))")

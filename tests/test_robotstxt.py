@@ -138,3 +138,59 @@ def test_parse_robots_spark_feeds_politeness(spark):
     assert allowed.count() == 2
     assert "disallow_prefixes" not in allowed.columns or True
     assert robots.where(F.size("sitemaps") > 0).count() == 1
+
+
+def test_rfc_rule_matching_wildcards_and_precedence(spark):
+    """RFC 9309 §2.2.2: '*' wildcards, trailing '$' anchor, most-octets
+    precedence, Allow wins ties, no-match -> allowed."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        robots_filter_rfc,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.de",
+          ["/private/", "/*.pdf$", "/a/*/c", "/tie"],
+          ["/private/public/", "/a/b/c", "/tie"])],
+        "netloc string, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>",
+    )
+    cases = {
+        "https://h.de/ok": False,
+        "https://h.de/private/x": True,            # plain prefix rule
+        "https://h.de/private/public/x": False,    # longer Allow wins
+        "https://h.de/docs/file.pdf": True,        # '*.pdf$' wildcard
+        "https://h.de/docs/file.pdf.html": False,  # '$' anchors the end
+        "https://h.de/a/ZZZ/c": True,              # '/a/*/c' mid wildcard
+        "https://h.de/a/b/c": False,               # Allow '/a/b/c' (7) beats
+                                                   # Disallow '/a/*/c' (6)
+        "https://h.de/tie": False,                 # equal octets -> Allow
+        "https://h.de/x(y)+z": False,              # regex specials inert
+    }
+    links = spark.createDataFrame(
+        [("h.de", u) for u in cases], "netloc string, url string")
+    allowed, blocked = robots_filter_rfc(links, robots)
+    got_blocked = {r.url for r in blocked.collect()}
+    want_blocked = {u for u, b in cases.items() if b}
+    assert got_blocked == want_blocked
+    assert {r.url for r in allowed.collect()} == set(cases) - want_blocked
+
+
+def test_rfc_matching_from_parsed_robots(spark):
+    """parse_robots output plugs straight into robots_filter_rfc."""
+    from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
+        robots_filter_rfc,
+    )
+
+    body = ("User-agent: *\nDisallow: /*.php$\nDisallow: /tmp/\n"
+            "Allow: /tmp/keep/\n")
+    robots = parse_robots(spark.createDataFrame(
+        [("w.de", body)], "netloc string, robots_txt string"))
+    links = spark.createDataFrame(
+        [("w.de", "https://w.de/index.php"),
+         ("w.de", "https://w.de/index.php?x=1"),
+         ("w.de", "https://w.de/tmp/a"),
+         ("w.de", "https://w.de/tmp/keep/a")],
+        "netloc string, url string")
+    allowed, blocked = robots_filter_rfc(links, robots)
+    assert {r.url for r in blocked.collect()} == {
+        "https://w.de/index.php", "https://w.de/tmp/a"}
