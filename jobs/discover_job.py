@@ -39,6 +39,10 @@ def main(argv=None):
                     help="dir with robots_txt.parquet + sitemaps.parquet")
     ap.add_argument("--out", required=True, help="output dir (parquet)")
     ap.add_argument("--user-agent", default="*")
+    ap.add_argument("--rfc-rules", action="store_true",
+                    help="use full RFC 9309 rule matching (wildcards, "
+                         "longest-match, Allow precedence) instead of "
+                         "the prefix hot path")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +50,7 @@ def main(argv=None):
 
     from scrapy_crawler_german_real_estate_sites_spark.operators.politeness import (
         robots_filter,
+        robots_filter_rfc,
     )
     from scrapy_crawler_german_real_estate_sites_spark.operators.robotstxt import (
         parse_robots,
@@ -86,11 +91,17 @@ def main(argv=None):
     candidates = leaf.unionByName(leaf2).withColumn(
         "netloc", F.regexp_extract("url", r"^https?://([^/]+)", 1))
 
-    allowed, blocked = robots_filter(
-        candidates,
-        robots.select("netloc", "crawl_delay_s", "max_concurrent",
-                      "disallow_prefixes"),
-    )
+    if args.rfc_rules:
+        allowed, blocked = robots_filter_rfc(
+            candidates,
+            robots.select("netloc", "disallow_prefixes", "allow_prefixes"),
+        )
+    else:
+        allowed, blocked = robots_filter(
+            candidates,
+            robots.select("netloc", "crawl_delay_s", "max_concurrent",
+                          "disallow_prefixes"),
+        )
     seeds = (
         allowed.groupBy("netloc", "url")
         .agg(F.max("lastmod").alias("lastmod"))

@@ -147,3 +147,21 @@ def test_discover_to_crawl_composition(spark, fix_tiny, tmp_path):
             eng_full.items_df().where("item_kind is not null")
             .select("seed_id", "url").collect()}
     assert got <= full and len(got) < len(full)
+
+
+def test_discover_job_rfc_rules_mode(spark, fix_tiny, tmp_path):
+    """--rfc-rules swaps in the full RFC 9309 matcher; on the fixture's
+    prefix-only rules the seed set must be identical to the default."""
+    import contextlib
+    import io
+
+    from jobs.discover_job import main
+
+    out_a = str(tmp_path / "da")
+    out_b = str(tmp_path / "db")
+    with contextlib.redirect_stdout(io.StringIO()):
+        main(["--fixture-dir", fix_tiny, "--out", out_a])
+        main(["--fixture-dir", fix_tiny, "--out", out_b, "--rfc-rules"])
+    a = {r.url for r in spark.read.parquet(out_a).collect()}
+    b = {r.url for r in spark.read.parquet(out_b).collect()}
+    assert a == b and a
